@@ -15,4 +15,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env var alone is not honored when an out-of-tree TPU plugin (axon) is
+# installed — it still becomes the default backend and every eager op pays a
+# tunnel round-trip. The config update does force CPU.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -155,3 +155,133 @@ def make_vq_decoder(out_dim, channels, n_layers, input_size=None):
             return self.main(x.permute(0, 2, 1)).permute(0, 2, 1)
 
     return Dec()
+
+
+# ---------------------------------------------------------------------------
+# Full-model oracles: CaMN / DisCo decoders (reference architectures, built from
+# public torch APIs; hyperparameters per configs/{camn,disco}_audio.yaml).
+# ---------------------------------------------------------------------------
+
+def _rot6d_to_axis_angle_torch(d6):
+    import torch.nn.functional as F
+    a1, a2 = d6[..., :3], d6[..., 3:]
+    b1 = F.normalize(a1, dim=-1)
+    b2 = F.normalize(a2 - (b1 * a2).sum(-1, keepdim=True) * b1, dim=-1)
+    b3 = torch.cross(b1, b2, dim=-1)
+    m = torch.stack((b1, b2, b3), dim=-2)
+    # matrix -> quaternion -> axis-angle (PyTorch3D formulas)
+    m00, m11, m22 = m[..., 0, 0], m[..., 1, 1], m[..., 2, 2]
+    def sqrtpp(x):
+        out = torch.zeros_like(x)
+        pos = x > 0
+        out[pos] = torch.sqrt(x[pos])
+        return out
+    o0 = 0.5 * sqrtpp(1 + m00 + m11 + m22)
+    x = 0.5 * sqrtpp(1 + m00 - m11 - m22)
+    y = 0.5 * sqrtpp(1 - m00 + m11 - m22)
+    z = 0.5 * sqrtpp(1 - m00 - m11 + m22)
+    def copysign(a, b):
+        return torch.where((a < 0) != (b < 0), -a, a)
+    q = torch.stack(
+        (o0,
+         copysign(x, m[..., 2, 1] - m[..., 1, 2]),
+         copysign(y, m[..., 0, 2] - m[..., 2, 0]),
+         copysign(z, m[..., 1, 0] - m[..., 0, 1])), -1)
+    norms = torch.norm(q[..., 1:], p=2, dim=-1, keepdim=True)
+    half = torch.atan2(norms, q[..., :1])
+    angles = 2 * half
+    small = angles.abs() < 1e-6
+    s = torch.empty_like(angles)
+    s[~small] = torch.sin(half[~small]) / angles[~small]
+    s[small] = 0.5 - (angles[small] ** 2) / 48
+    return q[..., 1:] / s
+
+
+def _recover_from_mask_torch(sel, mask):
+    mask_arr = torch.tensor(mask, dtype=torch.bool)
+    j = len(mask)
+    c = sel.shape[-1] // int(mask_arr.sum())
+    sel = sel.reshape(sel.shape[:-1] + (int(mask_arr.sum()), c))
+    out = torch.zeros(sel.shape[:-2] + (j, c), dtype=sel.dtype)
+    out[..., mask_arr, :] = sel
+    return out.reshape(out.shape[:-2] + (j * c,))
+
+
+class TorchCamn(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        self.cfg = cfg
+        self.audio_encoder = make_wav_encoder(cfg.audio_f, "camn")
+        self.speaker_embedding = nn.Embedding(cfg.speaker_dims, cfg.speaker_f)
+        in_body = cfg.pose_dims + 1 + cfg.speaker_f + cfg.audio_f
+        self.body_motion_decoder = nn.LSTM(in_body, cfg.hidden_size, cfg.n_layer,
+                                           batch_first=True, bidirectional=True,
+                                           dropout=cfg.dropout_prob)
+        self.body_out = TorchMLP(cfg.hidden_size, cfg.hidden_size, cfg.body_dims)
+        self.hands_motion_decoder = nn.LSTM(in_body + cfg.body_dims, cfg.hidden_size,
+                                            cfg.n_layer, batch_first=True,
+                                            bidirectional=True, dropout=cfg.dropout_prob)
+        self.hands_out = TorchMLP(cfg.hidden_size, cfg.hidden_size, cfg.hands_dims)
+
+    def forward(self, audio, speaker_id, seed_frames=4, seed_motion=None, joint_mask=None):
+        cfg = self.cfg
+        feat = self.audio_encoder(audio)
+        bs, t, _ = feat.shape
+        spk = self.speaker_embedding(speaker_id).repeat(1, t, 1)
+        seed = torch.zeros(bs, t, cfg.pose_dims + 1)
+        seed[:, :seed_frames, -1] = 1
+        if seed_motion is not None:
+            seed[:, :seed_frames, :-1] = seed_motion[:, :seed_frames]
+        in_fea = torch.cat((feat, spk, seed), 2)
+        body, _ = self.body_motion_decoder(in_fea)
+        body = body[:, :, :cfg.hidden_size] + body[:, :, cfg.hidden_size:]
+        body = self.body_out(body)
+        hands, _ = self.hands_motion_decoder(torch.cat((in_fea, body), 2))
+        hands = hands[:, :, :cfg.hidden_size] + hands[:, :, cfg.hidden_size:]
+        hands = self.hands_out(hands)
+        b6 = body.reshape(bs, t, cfg.body_dims // 6, 6)
+        h6 = hands.reshape(bs, t, cfg.hands_dims // 6, 6)
+        motion = torch.cat((b6, h6), 2).reshape(bs, t, cfg.pose_dims)
+        aa = _rot6d_to_axis_angle_torch(
+            motion.reshape(-1, cfg.pose_dims // 6, 6)).reshape(bs, t, -1)
+        aa = _recover_from_mask_torch(aa, joint_mask)
+        return {"motion": motion, "motion_axis_angle": aa}
+
+
+class TorchDisco(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        self.cfg = cfg
+        self.audio_encoder = make_wav_encoder(cfg.audio_f, "camn")
+        self.speaker_embedding = nn.Embedding(cfg.speaker_dims, cfg.speaker_f)
+        self.audio_encoder_c1 = TorchMLP(cfg.audio_f, cfg.hidden_size, cfg.audio_f)
+        self.audio_encoder_c2 = TorchMLP(cfg.audio_f, cfg.hidden_size, cfg.audio_f)
+        self.audio_encoder_r = TorchMLP(cfg.audio_f, cfg.hidden_size, cfg.audio_f)
+        self.selector = TorchMLP(cfg.audio_f, cfg.hidden_size, 2)
+        in_body = cfg.pose_dims + 1 + cfg.speaker_f + cfg.audio_f * 2
+        self.body_motion_decoder = nn.LSTM(in_body, cfg.hidden_size, cfg.n_layer,
+                                           batch_first=True, bidirectional=True,
+                                           dropout=cfg.dropout_prob)
+        self.body_out = TorchMLP(cfg.hidden_size, cfg.hidden_size, cfg.pose_dims)
+
+    def forward(self, audio, speaker_id, seed_frames=4, joint_mask=None):
+        cfg = self.cfg
+        feat = self.audio_encoder(audio)
+        bs, t, _ = feat.shape
+        spk = self.speaker_embedding(speaker_id).repeat(1, t, 1)
+        seed = torch.zeros(bs, t, cfg.pose_dims + 1)
+        seed[:, :seed_frames, -1] = 1
+        c1 = self.audio_encoder_c1(feat)
+        c2 = self.audio_encoder_c2(feat)
+        r = self.audio_encoder_r(feat)
+        w = torch.softmax(self.selector(feat), dim=2)
+        c = w[:, :, 0:1] * c1 + w[:, :, 1:2] * c2
+        in_fea = torch.cat((c, r, spk, seed), 2)
+        body, _ = self.body_motion_decoder(in_fea)
+        body = body[:, :, :cfg.hidden_size] + body[:, :, cfg.hidden_size:]
+        motion = self.body_out(body)
+        aa = _rot6d_to_axis_angle_torch(
+            motion.reshape(-1, cfg.pose_dims // 6, 6)).reshape(bs, t, -1)
+        aa = _recover_from_mask_torch(aa, joint_mask)
+        return {"motion": motion, "motion_axis_angle": aa,
+                "audio_fea_c": c, "audio_fea_r": r}
