@@ -1,5 +1,8 @@
 """Model configuration dataclasses.
 
+Configs use identity equality/hash (eq=False) so they can be passed as static jit
+arguments; reuse the same config object across calls to share compiled executables.
+
 Capability parity with the reference HF-style configs
 (/root/reference/models/{camn,disco,emage}_audio/configuration_*.py): every field of the
 YAML ``model:`` subtree becomes a config attribute, round-trippable through a
@@ -17,7 +20,7 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Type
 
 
-@dataclass
+@dataclass(eq=False)
 class BaseConfig:
     model_type: str = "base"
 
@@ -48,7 +51,7 @@ class BaseConfig:
             return cls.from_dict(json.load(f))
 
 
-@dataclass
+@dataclass(eq=False)
 class CamnAudioConfig(BaseConfig):
     """configs/camn_audio.yaml model subtree (reference lines 27-47)."""
 
@@ -73,7 +76,7 @@ class CamnAudioConfig(BaseConfig):
     joint_mask: str = "local_upper"
 
 
-@dataclass
+@dataclass(eq=False)
 class DiscoAudioConfig(BaseConfig):
     """configs/disco_audio.yaml model subtree — same fields as CaMN."""
 
@@ -98,7 +101,7 @@ class DiscoAudioConfig(BaseConfig):
     joint_mask: str = "local_upper"
 
 
-@dataclass
+@dataclass(eq=False)
 class EmageAudioConfig(BaseConfig):
     """configs/emage_audio.yaml model subtree (reference lines 27-52)."""
 
@@ -112,8 +115,8 @@ class EmageAudioConfig(BaseConfig):
     audio_fps: int = 16000
     audio_norm: bool = False
     audio_f: int = 256
-    speaker_f: int = 0
-    speaker_dims: int = 30
+    speaker_f: int = 768
+    speaker_dims: int = 1
     hidden_size: int = 768
     n_layer: int = 1
     dropout_prob: float = 0.1
@@ -135,11 +138,11 @@ class EmageAudioConfig(BaseConfig):
     ch: float = 1.0
 
 
-@dataclass
+@dataclass(eq=False)
 class EmageVQVAEConvConfig(BaseConfig):
     """EmageVQVAEConv config (configuration_emage_audio.py:14-23)."""
 
-    model_type: str = "emage_vqvae_conv"
+    model_type: str = "emage_vqvaeconv"
     vae_layer: int = 2
     vae_length: int = 256
     vae_test_dim: int = 106
@@ -147,11 +150,11 @@ class EmageVQVAEConvConfig(BaseConfig):
     vae_quantizer_lambda: float = 1.0
 
 
-@dataclass
+@dataclass(eq=False)
 class EmageVAEConvConfig(BaseConfig):
     """EmageVAEConv (global-translation VAE) config (configuration_emage_audio.py:25-32)."""
 
-    model_type: str = "emage_vae_conv"
+    model_type: str = "emage_vaeconv"
     vae_layer: int = 4
     vae_length: int = 240
     vae_test_dim: int = 61
@@ -161,8 +164,8 @@ CONFIG_REGISTRY: Dict[str, Type[BaseConfig]] = {
     "camn_audio": CamnAudioConfig,
     "disco_audio": DiscoAudioConfig,
     "emage_audio": EmageAudioConfig,
-    "emage_vqvae_conv": EmageVQVAEConvConfig,
-    "emage_vae_conv": EmageVAEConvConfig,
+    "emage_vqvaeconv": EmageVQVAEConvConfig,
+    "emage_vaeconv": EmageVAEConvConfig,
 }
 
 

@@ -1,0 +1,320 @@
+"""EMAGE (CVPR 2024): masked audio-gesture transformer over four VQ codebooks.
+
+Behavioral parity with /root/reference/models/emage_audio/modeling_emage_audio.py:
+``EmageAudioModel.__init__`` (:208-263), ``forward`` (:265-341) and the windowed
+autoregressive ``inference`` (:343-490), including the reference's quirks:
+
+- the duplicated audio-truncation branch that assigns ``audio2face_fea`` twice
+  (:278-281) — the body stream is deliberately NOT truncated;
+- ``t`` is taken from the audio feature length (:283);
+- all four 1-layer refiner decoders and the 8-layer cross-attn share an architecture
+  but have independent weights (torch ``nn.TransformerDecoder`` deep-copies its layer);
+- frame->sample mapping ``16000 // 30 == 533`` (:393).
+
+TPU design: the per-window forward is a fixed-shape jit (window=pose_length=64); the
+AR loop over windows runs in Python (each round reuses the same compiled function).
+Batched clips share the loop — pass (bs, samples) audio. The VQ decode of the seed tail
+runs inside the same jit step as the forward, so one device round-trip per window.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.rotations import axis_angle_to_rotation_6d
+from ..nn.attention import (
+    init_transformer_decoder,
+    init_transformer_encoder,
+    transformer_decoder,
+    transformer_encoder,
+)
+from ..nn.blocks import (
+    init_mlp,
+    init_vq_encoder,
+    init_wav_encoder,
+    make_periodic_pe,
+    mlp,
+    periodic_positional_encoding,
+    vq_encoder,
+    wav_encoder,
+)
+from ..nn.layers import (
+    Ctx,
+    EVAL,
+    Params,
+    embedding,
+    init_embedding,
+    init_linear,
+    linear,
+    log_softmax,
+)
+from .configs import EmageAudioConfig
+from .emage_vq import EmageVQSuite, vq_decode
+
+SAMPLES_PER_FRAME = 16000 // 30  # == 533, the reference's exact mapping
+
+
+def emage_forward(
+    params: Params,
+    cfg: EmageAudioConfig,
+    audio: jnp.ndarray,
+    speaker_id: jnp.ndarray,
+    masked_motion: jnp.ndarray,
+    mask: jnp.ndarray,
+    use_audio: bool = True,
+    ctx: Ctx = EVAL,
+) -> Dict[str, jnp.ndarray]:
+    """One masked-transformer pass over a (bs, t, 337) window.
+
+    Returns per-part continuous latents ``rec_*`` (bs, t, 256) and codebook logits
+    ``cls_*`` (bs, t, 256).
+    """
+    h = cfg.hidden_size
+    pe = params["position_embeddings"]["pe"]
+
+    # mask==1 slots are replaced by the learned mask embedding (:266-268)
+    masked_embeddings = jnp.broadcast_to(params["mask_embedding"], masked_motion.shape)
+    masked_motion = jnp.where(mask == 1, masked_embeddings, masked_motion)
+
+    body_hint = vq_encoder(params["motion_encoder"], masked_motion, 3)
+    body_hint_body = mlp(params["bodyhints_body"], body_hint)
+    body_hint_face = mlp(params["bodyhints_face"], body_hint)
+
+    audio2face_fea = wav_encoder(
+        params["audio_encoder_face"], audio, cfg.audio_f, "emage", ctx, ("audio_encoder_face",)
+    )
+    audio2body_fea = wav_encoder(
+        params["audio_encoder_body"], audio, cfg.audio_f, "emage", ctx, ("audio_encoder_body",)
+    )
+
+    t_hint = body_hint_face.shape[1]
+    # Reference quirk (:278-281): BOTH branches truncate audio2face_fea; the body
+    # stream keeps its full length (it is only attention memory).
+    if audio2face_fea.shape[1] > t_hint:
+        audio2face_fea = audio2face_fea[:, :t_hint]
+    if audio2body_fea.shape[1] > t_hint:
+        audio2face_fea = audio2face_fea[:, :t_hint]
+
+    bs, t, _ = audio2face_fea.shape
+
+    spk_body = embedding(params["speaker_embedding_body"], speaker_id)  # (bs, 1, h)
+    spk_body = jnp.broadcast_to(spk_body, (bs, t, h))
+    spk_face = embedding(params["speaker_embedding_face"], speaker_id)
+    spk_face = jnp.broadcast_to(spk_face, (bs, t, h))
+
+    # face branch: speaker PE query <- cross-attn over [audio ‖ hint] memory (:288-294)
+    face_memory = linear(
+        params["audio_face_motion_proj"],
+        jnp.concatenate([audio2face_fea, body_hint_face[:, :t]], axis=2),
+    )
+    face_query = periodic_positional_encoding(pe, spk_face, cfg.dropout_prob, ctx)
+    decode_face = transformer_decoder(
+        params["face_motion_decoder"], face_query, face_memory, num_layers=4,
+        num_heads=4, ctx=ctx, dropout_rate=cfg.dropout_prob,
+    )
+    face_latent = linear(params["face_out_proj"], decode_face)
+    classify_face = mlp(params["face_cls"], face_latent)
+
+    # body branch: self-attn then 8-layer cross-attn into audio (:297-312)
+    motion_proj = linear(params["moton_proj"], body_hint_body)
+    motion_proj = periodic_positional_encoding(pe, motion_proj, cfg.dropout_prob, ctx)
+    motion_proj = spk_body + motion_proj
+    motion_fea = transformer_encoder(
+        params["motion_self_encoder"], motion_proj, num_layers=1, num_heads=4,
+        ctx=ctx, dropout_rate=cfg.dropout_prob,
+    )
+
+    audio2body_proj = linear(params["audio_body_motion_proj"], audio2body_fea)
+    motion_fea = motion_fea + spk_body
+    motion_fea = periodic_positional_encoding(pe, motion_fea, cfg.dropout_prob, ctx)
+    cross = transformer_decoder(
+        params["audio_motion_cross_attn"], motion_fea, audio2body_proj,
+        num_layers=8, num_heads=4, ctx=ctx, dropout_rate=cfg.dropout_prob,
+    )
+    if not use_audio:
+        cross = cross * 0.0
+    motion_fea = motion_fea + cross
+
+    upper_latent = mlp(params["motion2latent_upper"], motion_fea)
+    hands_latent = mlp(params["motion2latent_hands"], motion_fea)
+    lower_latent = mlp(params["motion2latent_lower"], motion_fea)
+
+    # cross-part refiners (:318-322)
+    refine = lambda name, tgt, mem: transformer_decoder(
+        params[name], tgt + spk_body, mem, num_layers=1, num_heads=4,
+        ctx=ctx, dropout_rate=cfg.dropout_prob,
+    )
+    upper_ref = refine("body_motion_decoder_upper", upper_latent, hands_latent + lower_latent)
+    hands_ref = refine("body_motion_decoder_hands", hands_latent, upper_latent + lower_latent)
+    lower_ref = refine("body_motion_decoder_lower", lower_latent, upper_latent + hands_latent)
+
+    upper_out = linear(params["motion_out_proj_upper"], upper_latent + upper_ref)
+    hands_out = linear(params["motion_out_proj_hands"], hands_latent + hands_ref)
+    lower_out = linear(params["motion_out_proj_lower"], lower_latent + lower_ref)
+
+    return {
+        "rec_face": face_latent,
+        "rec_upper": upper_out,
+        "rec_hands": hands_out,
+        "rec_lower": lower_out,
+        "cls_face": classify_face,
+        "cls_upper": mlp(params["motion_cls_upper"], upper_out),
+        "cls_hands": mlp(params["motion_cls_hands"], hands_out),
+        "cls_lower": mlp(params["motion_cls_lower"], lower_out),
+    }
+
+
+def _select_decode_inputs(cfg: EmageAudioConfig, net_out):
+    """Latent-vs-index head routing by the c*/l* flags (:403-410)."""
+    argmax = lambda x: jnp.argmax(log_softmax(x, axis=2), axis=2)
+    sel = {}
+    sel["face_latent"] = net_out["rec_face"] if (cfg.lf > 0 and cfg.cf == 0) else None
+    sel["upper_latent"] = net_out["rec_upper"] if (cfg.lu > 0 and cfg.cu == 0) else None
+    sel["hands_latent"] = net_out["rec_hands"] if (cfg.lh > 0 and cfg.ch == 0) else None
+    sel["lower_latent"] = net_out["rec_lower"] if (cfg.ll > 0 and cfg.cl == 0) else None
+    sel["face_index"] = argmax(net_out["cls_face"]) if cfg.cf > 0 else None
+    sel["upper_index"] = argmax(net_out["cls_upper"]) if cfg.cu > 0 else None
+    sel["hands_index"] = argmax(net_out["cls_hands"]) if cfg.ch > 0 else None
+    sel["lower_index"] = argmax(net_out["cls_lower"]) if cfg.cl > 0 else None
+    return sel
+
+
+def _window_step(params, cfg: EmageAudioConfig, suite: EmageVQSuite,
+                 audio_slice, speaker_id, window_motion, window_mask):
+    """forward + head routing + VQ decode of the seed tail — one jit unit per window."""
+    net_out = emage_forward(params, cfg, audio_slice, speaker_id, window_motion,
+                            window_mask, use_audio=True)
+    sel = _select_decode_inputs(cfg, net_out)
+    decode = vq_decode(suite, **sel)
+    last_motion = decode["all_motion4inference"][:, -cfg.seed_frames :, :]
+    return net_out, last_motion
+
+
+# params and suite are pytrees (EmageVQSuite is registered), cfg is static: windows of
+# the same shape share one compiled executable across emage_inference calls.
+_window_step_jit = jax.jit(_window_step, static_argnames=("cfg",))
+
+
+def emage_inference(
+    params: Params,
+    cfg: EmageAudioConfig,
+    audio: jnp.ndarray,
+    speaker_id: jnp.ndarray,
+    suite: EmageVQSuite,
+    masked_motion: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Sliding-window autoregressive generation (:343-490).
+
+    64-frame windows with a 4-frame overlap; the previous window's *decoded* tail seeds
+    the next window's unmasked slots; outputs are concatenated minus the overlap, plus a
+    remainder window when ``remain > seed_frames``.
+    """
+    length = audio.shape[1] * 30 // 16000
+    bs = audio.shape[0]
+    c = cfg.pose_dims + 7  # 337
+
+    fake_aa = jnp.zeros((bs, length, 55, 3), jnp.float32)
+    fake_motion = axis_angle_to_rotation_6d(fake_aa).reshape(bs, length, -1)
+    fake_motion = jnp.concatenate([fake_motion, jnp.zeros((bs, length, 7))], axis=-1)
+    if masked_motion is not None:
+        fake_motion = fake_motion.at[:, : masked_motion.shape[1]].set(masked_motion)
+    masked_motion = fake_motion
+
+    fake_mask = jnp.ones_like(masked_motion)
+    if mask is not None:
+        fake_mask = fake_mask.at[:, : mask.shape[1]].set(mask)
+    mask = fake_mask
+
+    window = cfg.pose_length
+    pre = cfg.seed_frames
+    rounds = (length - pre) // (window - pre)
+    remain = (length - pre) % (window - pre)
+
+    outs = {k: [] for k in ("rec_face", "rec_upper", "rec_hands", "rec_lower",
+                            "cls_face", "cls_upper", "cls_hands", "cls_lower")}
+    last_motion = masked_motion[:, :pre, :]
+
+    def run_window(start, end):
+        nonlocal last_motion
+        wmask = mask[:, start:end, :]
+        wmotion = masked_motion[:, start:end, :]
+        seed = jnp.where(
+            wmask[:, :pre, :] == 0, masked_motion[:, start : start + pre, :], last_motion
+        )
+        wmotion = jnp.concatenate([seed, wmotion[:, pre:, :]], axis=1)
+        wmask = jnp.concatenate(
+            [jnp.zeros_like(wmask[:, :pre, :]), wmask[:, pre:, :]], axis=1
+        )
+        a0 = start * SAMPLES_PER_FRAME
+        audio_slice = audio[:, a0 : a0 + (end - start) * SAMPLES_PER_FRAME]
+        net_out, last = _window_step_jit(
+            params, cfg, suite, audio_slice, speaker_id, wmotion, wmask
+        )
+        last_motion = last
+        return net_out
+
+    for i in range(rounds):
+        start = i * (window - pre)
+        net_out = run_window(start, start + window)
+        for k in outs:
+            outs[k].append(net_out[k][:, :-pre])
+
+    if remain > pre:
+        final_start = rounds * (window - pre)
+        net_out = run_window(final_start, final_start + pre + remain)
+        for k in outs:
+            outs[k].append(net_out[k])
+
+    return {k: jnp.concatenate(v, axis=1) for k, v in outs.items()}
+
+
+def init_emage(key: jax.Array, cfg: EmageAudioConfig) -> Params:
+    h = cfg.hidden_size
+    ks = iter(jax.random.split(key, 32))
+    params: Params = {
+        "audio_encoder_face": init_wav_encoder(next(ks), cfg.audio_f, "emage"),
+        "audio_encoder_body": init_wav_encoder(next(ks), cfg.audio_f, "emage"),
+        "speaker_embedding_body": init_embedding(next(ks), cfg.speaker_dims, h),
+        "speaker_embedding_face": init_embedding(next(ks), cfg.speaker_dims, h),
+        "mask_embedding": jax.random.normal(next(ks), (1, 1, cfg.pose_dims + 7))
+        * (h ** -0.5),
+        "motion_encoder": init_vq_encoder(next(ks), cfg.pose_dims + 7, cfg.motion_f, 3),
+        "bodyhints_face": init_mlp(next(ks), cfg.motion_f, h, cfg.motion_f),
+        "bodyhints_body": init_mlp(next(ks), cfg.motion_f, h, cfg.motion_f),
+        "audio_body_motion_proj": init_linear(next(ks), cfg.audio_f, h),
+        "moton_proj": init_linear(next(ks), cfg.motion_f, h),
+        "position_embeddings": {
+            "pe": make_periodic_pe(h, cfg.pose_length, cfg.pose_length)
+        },
+        "motion_self_encoder": init_transformer_encoder(next(ks), 1, h, h * 2),
+        "audio_motion_cross_attn": init_transformer_decoder(next(ks), 8, h, h * 2),
+        "motion2latent_upper": init_mlp(next(ks), h, h, h),
+        "motion2latent_hands": init_mlp(next(ks), h, h, h),
+        "motion2latent_lower": init_mlp(next(ks), h, h, h),
+        "body_motion_decoder_upper": init_transformer_decoder(next(ks), 1, h, h * 2),
+        "body_motion_decoder_hands": init_transformer_decoder(next(ks), 1, h, h * 2),
+        "body_motion_decoder_lower": init_transformer_decoder(next(ks), 1, h, h * 2),
+        "motion_out_proj_upper": init_linear(next(ks), h, cfg.vae_codebook_size),
+        "motion_out_proj_hands": init_linear(next(ks), h, cfg.vae_codebook_size),
+        "motion_out_proj_lower": init_linear(next(ks), h, cfg.vae_codebook_size),
+        "motion_cls_upper": init_mlp(next(ks), cfg.vae_codebook_size, h, cfg.vae_codebook_size),
+        "motion_cls_hands": init_mlp(next(ks), cfg.vae_codebook_size, h, cfg.vae_codebook_size),
+        "motion_cls_lower": init_mlp(next(ks), cfg.vae_codebook_size, h, cfg.vae_codebook_size),
+        "audio_face_motion_proj": init_linear(next(ks), cfg.audio_f + cfg.motion_f, h),
+        "face_motion_decoder": init_transformer_decoder(next(ks), 4, h, h * 2),
+        "face_out_proj": init_linear(next(ks), h, cfg.vae_codebook_size),
+        "face_cls": init_mlp(next(ks), cfg.vae_codebook_size, h, cfg.vae_codebook_size),
+    }
+    return params
+
+
+__all__ = [
+    "SAMPLES_PER_FRAME",
+    "emage_forward",
+    "emage_inference",
+    "init_emage",
+]

@@ -285,3 +285,194 @@ class TorchDisco(nn.Module):
         aa = _recover_from_mask_torch(aa, joint_mask)
         return {"motion": motion, "motion_axis_angle": aa,
                 "audio_fea_c": c, "audio_fea_r": r}
+
+
+# ---------------------------------------------------------------------------
+# EMAGE family oracles (architecture per the reference; attribute names follow
+# the reference checkpoints' state_dict layout, which is our import format).
+# ---------------------------------------------------------------------------
+import math
+
+
+class TorchPeriodicPE(nn.Module):
+    def __init__(self, d_model, period, max_seq_len, dropout=0.1):
+        super().__init__()
+        self.dropout = nn.Dropout(p=dropout)
+        pe = torch.zeros(period, d_model)
+        position = torch.arange(0, period, dtype=torch.float).unsqueeze(1)
+        div_term = torch.exp(torch.arange(0, d_model, 2).float() * (-math.log(10000.0) / d_model))
+        pe[:, 0::2] = torch.sin(position * div_term)
+        pe[:, 1::2] = torch.cos(position * div_term)
+        pe = pe.unsqueeze(0)
+        repeat_num = (max_seq_len // period) + 1
+        pe = pe.repeat(1, repeat_num, 1)
+        self.register_buffer("pe", pe)
+
+    def forward(self, x):
+        return self.dropout(x + self.pe[:, : x.shape[1], :])
+
+
+class TorchQuantizer(nn.Module):
+    def __init__(self, n_e, e_dim, beta):
+        super().__init__()
+        self.n_e, self.e_dim, self.beta = n_e, e_dim, beta
+        self.embedding = nn.Embedding(n_e, e_dim)
+        self.embedding.weight.data.uniform_(-1.0 / n_e, 1.0 / n_e)
+
+    def map2index(self, z):
+        zf = z.contiguous().view(-1, self.e_dim)
+        d = (zf ** 2).sum(1, keepdim=True) + (self.embedding.weight ** 2).sum(1) \
+            - 2 * zf @ self.embedding.weight.t()
+        return d.argmin(1).view(z.shape[0], z.shape[1])
+
+    def get_codebook_entry(self, indices):
+        return self.embedding(indices)
+
+    def forward(self, z):
+        idx = self.map2index(z)
+        z_q = self.embedding(idx)
+        loss = torch.mean((z_q - z.detach()) ** 2) + self.beta * torch.mean((z_q.detach() - z) ** 2)
+        z_q = z + (z_q - z).detach()
+        one_hot = torch.nn.functional.one_hot(idx.reshape(-1), self.n_e).float()
+        e_mean = one_hot.mean(0)
+        perp = torch.exp(-torch.sum(e_mean * torch.log(e_mean + 1e-10)))
+        return loss, z_q, idx, perp
+
+
+class TorchEmageVQVAE(nn.Module):
+    """encoder -> quantizer -> decoder with EmageVQVAEConv state_dict paths."""
+
+    def __init__(self, test_dim, vae_length, n_layers, codebook, beta=1.0):
+        super().__init__()
+        self.n_layers = n_layers
+        enc = make_vq_encoder(test_dim, vae_length, n_layers)
+        dec = make_vq_decoder(test_dim, vae_length, n_layers)
+        self.encoder = enc
+        self.quantizer = TorchQuantizer(codebook, vae_length, beta)
+        self.decoder = dec
+
+    def map2index(self, x):
+        return self.quantizer.map2index(self.encoder(x))
+
+    def map2latent(self, x):
+        return self.quantizer.get_codebook_entry(self.map2index(x))
+
+    def decode(self, index):
+        return self.decoder(self.quantizer.get_codebook_entry(index))
+
+    def decode_from_latent(self, latent):
+        zf = latent.contiguous().view(-1, self.quantizer.e_dim)
+        d = (zf ** 2).sum(1, keepdim=True) + (self.quantizer.embedding.weight ** 2).sum(1) \
+            - 2 * zf @ self.quantizer.embedding.weight.t()
+        idx = d.argmin(1).view(latent.shape[0], latent.shape[1])
+        return self.decoder(self.quantizer.get_codebook_entry(idx))
+
+    def forward(self, x):
+        pre = self.encoder(x)
+        loss, z_q, _, perp = self.quantizer(pre)
+        return {"poses_feat": z_q, "embedding_loss": loss, "perplexity": perp,
+                "rec_pose": self.decoder(z_q)}
+
+
+class TorchEmageVAE(nn.Module):
+    def __init__(self, test_dim, vae_length, n_layers):
+        super().__init__()
+        self.encoder = make_vq_encoder(test_dim, vae_length, n_layers)
+        self.decoder = make_vq_decoder(test_dim, vae_length, n_layers)
+
+    def forward(self, x):
+        return {"rec_pose": self.decoder(self.encoder(x))}
+
+
+class TorchEmage(nn.Module):
+    """EmageAudioModel oracle; attribute names mirror the reference state_dict."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        self.cfg = cfg
+        h = cfg.hidden_size
+        self.audio_encoder_face = make_wav_encoder(cfg.audio_f, "emage")
+        self.audio_encoder_body = make_wav_encoder(cfg.audio_f, "emage")
+        self.speaker_embedding_body = nn.Embedding(cfg.speaker_dims, h)
+        self.speaker_embedding_face = nn.Embedding(cfg.speaker_dims, h)
+        self.mask_embedding = nn.Parameter(torch.zeros(1, 1, cfg.pose_dims + 7))
+        nn.init.normal_(self.mask_embedding, 0, h ** -0.5)
+        self.motion_encoder = make_vq_encoder(cfg.pose_dims + 7, cfg.motion_f, 3)
+        self.bodyhints_face = TorchMLP(cfg.motion_f, h, cfg.motion_f)
+        self.bodyhints_body = TorchMLP(cfg.motion_f, h, cfg.motion_f)
+        self.audio_body_motion_proj = nn.Linear(cfg.audio_f, h)
+        self.moton_proj = nn.Linear(cfg.motion_f, h)
+        self.position_embeddings = TorchPeriodicPE(h, cfg.pose_length, cfg.pose_length, cfg.dropout_prob)
+        enc_layer = nn.TransformerEncoderLayer(d_model=h, nhead=4, dim_feedforward=h * 2)
+        self.motion_self_encoder = nn.TransformerEncoder(enc_layer, num_layers=1)
+        dec_layer = nn.TransformerDecoderLayer(d_model=h, nhead=4, dim_feedforward=h * 2)
+        self.audio_motion_cross_attn = nn.TransformerDecoder(dec_layer, num_layers=8)
+        self.motion2latent_upper = TorchMLP(h, h, h)
+        self.motion2latent_hands = TorchMLP(h, h, h)
+        self.motion2latent_lower = TorchMLP(h, h, h)
+        self.body_motion_decoder_upper = nn.TransformerDecoder(dec_layer, num_layers=1)
+        self.body_motion_decoder_hands = nn.TransformerDecoder(dec_layer, num_layers=1)
+        self.body_motion_decoder_lower = nn.TransformerDecoder(dec_layer, num_layers=1)
+        cb = cfg.vae_codebook_size
+        self.motion_out_proj_upper = nn.Linear(h, cb)
+        self.motion_out_proj_hands = nn.Linear(h, cb)
+        self.motion_out_proj_lower = nn.Linear(h, cb)
+        self.motion_cls_upper = TorchMLP(cb, h, cb)
+        self.motion_cls_hands = TorchMLP(cb, h, cb)
+        self.motion_cls_lower = TorchMLP(cb, h, cb)
+        self.audio_face_motion_proj = nn.Linear(cfg.audio_f + cfg.motion_f, h)
+        self.face_motion_decoder = nn.TransformerDecoder(dec_layer, num_layers=4)
+        self.face_out_proj = nn.Linear(h, cb)
+        self.face_cls = TorchMLP(cb, h, cb)
+
+    def forward(self, audio, speaker_id, masked_motion, mask, use_audio=True):
+        masked_motion = torch.where(mask == 1, self.mask_embedding.expand_as(masked_motion),
+                                    masked_motion)
+        hint = self.motion_encoder(masked_motion)
+        hint_body = self.bodyhints_body(hint)
+        hint_face = self.bodyhints_face(hint)
+        a_face = self.audio_encoder_face(audio)
+        a_body = self.audio_encoder_body(audio)
+        if a_face.shape[1] > hint_face.shape[1]:
+            a_face = a_face[:, : hint_face.shape[1]]
+        if a_body.shape[1] > hint_face.shape[1]:
+            a_face = a_face[:, : hint_face.shape[1]]  # reference quirk, kept
+        bs, t, _ = a_face.shape
+        spk_body = self.speaker_embedding_body(speaker_id).repeat(1, t, 1)
+        spk_face = self.speaker_embedding_face(speaker_id).repeat(1, t, 1)
+        face_mem = self.audio_face_motion_proj(torch.cat([a_face, hint_face[:, :t]], 2))
+        face_q = self.position_embeddings(spk_face)
+        dec_face = self.face_motion_decoder(tgt=face_q.permute(1, 0, 2),
+                                            memory=face_mem.permute(1, 0, 2)).permute(1, 0, 2)
+        face_latent = self.face_out_proj(dec_face)
+        cls_face = self.face_cls(face_latent)
+
+        mproj = self.moton_proj(hint_body)
+        mproj = self.position_embeddings(mproj)
+        mproj = spk_body + mproj
+        mfea = self.motion_self_encoder(mproj.permute(1, 0, 2)).permute(1, 0, 2)
+        a_body_proj = self.audio_body_motion_proj(a_body)
+        mfea = mfea + spk_body
+        mfea = self.position_embeddings(mfea)
+        cross = self.audio_motion_cross_attn(tgt=mfea.permute(1, 0, 2),
+                                             memory=a_body_proj.permute(1, 0, 2)).permute(1, 0, 2)
+        if not use_audio:
+            cross = cross * 0.0
+        mfea = mfea + cross
+        up = self.motion2latent_upper(mfea)
+        ha = self.motion2latent_hands(mfea)
+        lo = self.motion2latent_lower(mfea)
+        upr = self.body_motion_decoder_upper(tgt=(up + spk_body).permute(1, 0, 2),
+                                             memory=(ha + lo).permute(1, 0, 2)).permute(1, 0, 2)
+        har = self.body_motion_decoder_hands(tgt=(ha + spk_body).permute(1, 0, 2),
+                                             memory=(up + lo).permute(1, 0, 2)).permute(1, 0, 2)
+        lor = self.body_motion_decoder_lower(tgt=(lo + spk_body).permute(1, 0, 2),
+                                             memory=(up + ha).permute(1, 0, 2)).permute(1, 0, 2)
+        up = self.motion_out_proj_upper(up + upr)
+        ha = self.motion_out_proj_hands(ha + har)
+        lo = self.motion_out_proj_lower(lo + lor)
+        return {
+            "rec_face": face_latent, "rec_upper": up, "rec_hands": ha, "rec_lower": lo,
+            "cls_face": cls_face, "cls_upper": self.motion_cls_upper(up),
+            "cls_hands": self.motion_cls_hands(ha), "cls_lower": self.motion_cls_lower(lo),
+        }
