@@ -1,0 +1,75 @@
+"""Shared wiring for the three train CLIs (init_env parity,
+/root/reference/train_emage_audio.py:567-607): --config + dotlist overrides + boolean
+flags, timestamped exp dirs, sanity_check snapshot, seeding, mesh + loader + loop."""
+from __future__ import annotations
+
+import argparse
+import os
+import random
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.config import (
+    DotDict,
+    load_config,
+    snapshot_sanity_check,
+    timestamp_exp_name,
+)
+
+
+def parse_args(default_config: str) -> Tuple[argparse.Namespace, List[str]]:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, default=default_config)
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--visualization", action="store_true")
+    p.add_argument("--evaluation", action="store_true")
+    p.add_argument("--test", action="store_true")
+    return p.parse_known_args()
+
+
+def init_env(default_config: str) -> DotDict:
+    args, overrides = parse_args(default_config)
+    cfg = load_config(args.config, overrides)
+    if args.debug:
+        cfg.solver.max_train_steps = 4
+        cfg.validation.validation_steps = 2
+        cfg.validation.test_steps = 2
+        cfg.debug = True
+    for flag in ("wandb", "visualization", "evaluation", "test"):
+        if getattr(args, flag):
+            cfg.validation[flag] = True
+    cfg.exp_name = timestamp_exp_name(cfg.get("exp_name", "exp"))
+    cfg.output_dir = os.path.join(cfg.get("output_dir", "./outputs/"), cfg.exp_name)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    snapshot_sanity_check(cfg.output_dir, cfg, pkg_root)
+    return cfg
+
+
+def seed_everything(seed: int) -> None:
+    random.seed(seed)
+    np.random.seed(seed)
+    os.environ["PYTHONHASHSEED"] = str(seed)
+
+
+def windowed_fgd_val(val_loader, predict_rot6d_fn, window: int = 64):
+    """Build a val_fn computing windowed FGD over the val split (reference val loop,
+    train_emage_audio.py:332-346). predict_rot6d_fn(params, batch) ->
+    (pred_rot6d, gt_rot6d) with full-body 330-channel layout."""
+    from ..eval.metrics import FGD
+
+    def val_fn(params, iteration):
+        fgd = FGD(download_path=os.environ.get("EMAGE_EVALTOOLS", "./emage_evaltools/"),
+                  window=window, stride=window)
+        for batch in val_loader:
+            pred, gt = predict_rot6d_fn(params, batch)
+            for i in range(pred.shape[0]):
+                fgd.update(np.asarray(pred[i : i + 1]), np.asarray(gt[i : i + 1]))
+        return fgd.compute()
+
+    return val_fn
+
+
+__all__ = ["init_env", "parse_args", "seed_everything", "windowed_fgd_val"]

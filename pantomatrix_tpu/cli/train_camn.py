@@ -1,0 +1,94 @@
+"""CaMN trainer CLI.
+
+Parity with /root/reference/train_camn_audio.py: geodesic objective on rot6d, windowed
+val FGD + best checkpointing, step-indexed loop. TPU-native: shard_map train step over
+a Mesh("data"); the dataloader shards per process.
+
+Usage: python -m pantomatrix_tpu.cli.train_camn --config <yaml> [--debug] [k=v ...]
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.masking import MASK_DICT, recover_from_mask_ts
+    from ..core.rotations import axis_angle_to_rotation_6d
+    from ..data.beat2 import BEAT2Dataset, DataLoader
+    from ..models.camn import camn_forward, init_camn
+    from ..models.configs import CamnAudioConfig
+    from ..train.loop import TrainLoopConfig, run_training
+    from ..train.mesh import make_data_mesh, replicate, shard_batch
+    from ..train.optim import make_optimizer
+    from ..train.steps import init_opt_state, make_camn_train_step
+    from ._train_common import init_env, seed_everything, windowed_fgd_val
+
+    cfg = init_env(os.path.join(os.path.dirname(__file__), "..", "configs", "camn_audio.yaml"))
+    seed_everything(cfg.seed)
+
+    model_cfg = CamnAudioConfig.from_dict(cfg.model.to_dict())
+    params = init_camn(jax.random.PRNGKey(cfg.seed), model_cfg)
+
+    mesh = make_data_mesh(int(cfg.data.train_bs))
+    optimizer = make_optimizer(
+        learning_rate=float(cfg.solver.learning_rate),
+        beta1=cfg.solver.adam_beta1, beta2=cfg.solver.adam_beta2,
+        eps=float(cfg.solver.adam_epsilon),
+        weight_decay=float(cfg.solver.adam_weight_decay),
+        max_grad_norm=float(cfg.solver.max_grad_norm),
+        lr_scheduler=cfg.solver.lr_scheduler,
+        warmup_steps=int(cfg.solver.lr_warmup_steps),
+        total_steps=int(cfg.solver.max_train_steps),
+    )
+    step_fn = make_camn_train_step(model_cfg, optimizer, mesh)
+    opt_state = init_opt_state(optimizer, params)
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+
+    train_ds = BEAT2Dataset(cfg.data.meta_paths, "train", model_cfg.pose_fps,
+                            model_cfg.audio_sr, model_cfg.joint_mask)
+    train_loader = DataLoader(train_ds, cfg.data.train_bs, seed=cfg.seed)
+    val_ds = BEAT2Dataset(cfg.data.test_meta_paths, "val", model_cfg.pose_fps,
+                          model_cfg.audio_sr, model_cfg.joint_mask)
+    val_loader = DataLoader(val_ds, min(cfg.data.train_bs, max(len(val_ds), 1)),
+                            shuffle=False) if len(val_ds) else None
+
+    joint_mask = MASK_DICT[model_cfg.joint_mask]
+
+    def predict_rot6d(params, batch):
+        motion = jnp.asarray(batch["motion"])
+        bs, t, jc = motion.shape
+        j = jc // 3
+        gt6 = axis_angle_to_rotation_6d(motion.reshape(bs, t, j, 3)).reshape(bs, t, j * 6)
+        pred = camn_forward(params, model_cfg, jnp.asarray(batch["audio"]),
+                            jnp.zeros((bs, 1), jnp.int32), model_cfg.seed_frames,
+                            seed_motion=gt6, return_axis_angle=False)["motion"]
+        return (
+            recover_from_mask_ts(pred, joint_mask),
+            recover_from_mask_ts(gt6, joint_mask),
+        )
+
+    val_fn = windowed_fgd_val(val_loader, predict_rot6d) if val_loader else None
+
+    loop_cfg = TrainLoopConfig(
+        max_train_steps=int(cfg.solver.max_train_steps),
+        validation_steps=int(cfg.validation.validation_steps),
+        log_period=int(cfg.get("log_period", 50)),
+        ckpt_dir=os.path.join(cfg.output_dir, "ckpt"),
+        resume_from_checkpoint=cfg.get("resume_from_checkpoint"),
+        seed=cfg.seed,
+    )
+    run_training(
+        loop_cfg, step_fn, params, opt_state, train_loader,
+        place_batch=lambda b: shard_batch(b, mesh),
+        val_fn=val_fn, model_config=model_cfg,
+    )
+
+
+if __name__ == "__main__":
+    main()

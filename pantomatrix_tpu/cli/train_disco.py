@@ -1,0 +1,120 @@
+"""DisCo trainer CLI.
+
+Parity with /root/reference/train_disco_audio.py: geodesic + contrastive
+disentanglement objective, class-balanced sampling over content labels
+(WeightedRandomSampler parity), windowed val FGD + best checkpointing.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+class _WeightedLoader:
+    """Epoch-reshuffled class-balanced batches (train_disco_audio.py:78-91)."""
+
+    def __init__(self, dataset, batch_size: int, seed: int = 42):
+        from ..data.beat2 import collate
+
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.epoch = 0
+        self.labels = np.asarray([m["content_label"] for m in dataset.data_list])
+        self._collate = collate
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        return len(self.dataset) // self.batch_size
+
+    def __iter__(self):
+        from ..data.beat2 import weighted_indices
+
+        idx = weighted_indices(self.labels, len(self.dataset), self.seed + self.epoch)
+        for b in range(len(self)):
+            chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            yield self._collate([self.dataset[int(i)] for i in chunk])
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.masking import MASK_DICT, recover_from_mask_ts
+    from ..core.rotations import axis_angle_to_rotation_6d
+    from ..data.beat2 import BEAT2Dataset, DataLoader
+    from ..models.configs import DiscoAudioConfig
+    from ..models.disco import disco_forward, init_disco
+    from ..train.loop import TrainLoopConfig, run_training
+    from ..train.mesh import make_data_mesh, replicate, shard_batch
+    from ..train.optim import make_optimizer
+    from ..train.steps import init_opt_state, make_disco_train_step
+    from ._train_common import init_env, seed_everything, windowed_fgd_val
+
+    cfg = init_env(os.path.join(os.path.dirname(__file__), "..", "configs", "disco_audio.yaml"))
+    seed_everything(cfg.seed)
+
+    model_cfg = DiscoAudioConfig.from_dict(cfg.model.to_dict())
+    params = init_disco(jax.random.PRNGKey(cfg.seed), model_cfg)
+
+    mesh = make_data_mesh(int(cfg.data.train_bs))
+    optimizer = make_optimizer(
+        learning_rate=float(cfg.solver.learning_rate),
+        beta1=cfg.solver.adam_beta1, beta2=cfg.solver.adam_beta2,
+        eps=float(cfg.solver.adam_epsilon),
+        weight_decay=float(cfg.solver.adam_weight_decay),
+        max_grad_norm=float(cfg.solver.max_grad_norm),
+        lr_scheduler=cfg.solver.lr_scheduler,
+        warmup_steps=int(cfg.solver.lr_warmup_steps),
+        total_steps=int(cfg.solver.max_train_steps),
+    )
+    step_fn = make_disco_train_step(model_cfg, optimizer, mesh)
+    opt_state = init_opt_state(optimizer, params)
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+
+    train_ds = BEAT2Dataset(cfg.data.meta_paths, "train", model_cfg.pose_fps,
+                            model_cfg.audio_sr, model_cfg.joint_mask, variant="disco")
+    train_loader = _WeightedLoader(train_ds, cfg.data.train_bs, seed=cfg.seed)
+    val_ds = BEAT2Dataset(cfg.data.test_meta_paths, "val", model_cfg.pose_fps,
+                          model_cfg.audio_sr, model_cfg.joint_mask)
+    val_loader = DataLoader(val_ds, min(cfg.data.train_bs, max(len(val_ds), 1)),
+                            shuffle=False) if len(val_ds) else None
+
+    joint_mask = MASK_DICT[model_cfg.joint_mask]
+
+    def predict_rot6d(params, batch):
+        motion = jnp.asarray(batch["motion"])
+        bs, t, jc = motion.shape
+        j = jc // 3
+        gt6 = axis_angle_to_rotation_6d(motion.reshape(bs, t, j, 3)).reshape(bs, t, j * 6)
+        pred = disco_forward(params, model_cfg, jnp.asarray(batch["audio"]),
+                             jnp.zeros((bs, 1), jnp.int32), model_cfg.seed_frames,
+                             seed_motion=gt6, return_axis_angle=False)["motion"]
+        return (
+            recover_from_mask_ts(pred, joint_mask),
+            recover_from_mask_ts(gt6, joint_mask),
+        )
+
+    val_fn = windowed_fgd_val(val_loader, predict_rot6d) if val_loader else None
+
+    loop_cfg = TrainLoopConfig(
+        max_train_steps=int(cfg.solver.max_train_steps),
+        validation_steps=int(cfg.validation.validation_steps),
+        log_period=int(cfg.get("log_period", 50)),
+        ckpt_dir=os.path.join(cfg.output_dir, "ckpt"),
+        resume_from_checkpoint=cfg.get("resume_from_checkpoint"),
+        seed=cfg.seed,
+    )
+    run_training(
+        loop_cfg, step_fn, params, opt_state, train_loader,
+        place_batch=lambda b: shard_batch(b, mesh),
+        val_fn=val_fn, model_config=model_cfg,
+    )
+
+
+if __name__ == "__main__":
+    main()

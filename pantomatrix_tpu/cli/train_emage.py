@@ -1,0 +1,127 @@
+"""EMAGE trainer CLI.
+
+Parity with /root/reference/train_emage_audio.py: 3-pass masked objective against 5
+frozen pretrained VQ/VAE tokenizers, windowed val FGD over decoded predictions, best
+checkpointing. The VQ suite loads from ``--vq_path <root>/emage_vq/*`` (local
+checkpoints) or random-initializes with ``--random_vq`` for smoke runs.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def load_suite(vq_path, random_vq, vae_length=256, codebook=256):
+    import jax
+
+    from ..models.api import EmageVAEConv, EmageVQVAEConv
+    from ..models.emage_vq import EmageVQSuite, init_vq_suite
+
+    if vq_path:
+        sub = lambda name: os.path.join(vq_path, "emage_vq", name)
+        mk = lambda name: EmageVQVAEConv.from_pretrained(sub(name))
+        g = EmageVAEConv.from_pretrained(sub("global"))
+        return EmageVQSuite(
+            face=(mk("face").params, mk("face").config),
+            upper=(mk("upper").params, mk("upper").config),
+            hands=(mk("hands").params, mk("hands").config),
+            lower=(mk("lower").params, mk("lower").config),
+            global_motion=(g.params, g.config),
+        )
+    if random_vq:
+        return init_vq_suite(jax.random.PRNGKey(777))
+    raise SystemExit("--vq_path <dir> (frozen tokenizers) or --random_vq required")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.rotations import axis_angle_to_rotation_6d
+    from ..data.beat2 import BEAT2Dataset, DataLoader
+    from ..models.configs import EmageAudioConfig
+    from ..models.emage import emage_forward, init_emage, _select_decode_inputs
+    from ..models.emage_vq import vq_decode
+    from ..train.loop import TrainLoopConfig, run_training
+    from ..train.mesh import make_data_mesh, replicate, shard_batch
+    from ..train.optim import make_optimizer
+    from ..train.steps import init_opt_state, make_emage_train_step
+    from ._train_common import init_env, seed_everything, windowed_fgd_val
+
+    vq_parser = argparse.ArgumentParser(add_help=False)
+    vq_parser.add_argument("--vq_path", type=str, default=None)
+    vq_parser.add_argument("--random_vq", action="store_true")
+    vq_args, rest = vq_parser.parse_known_args()
+    sys.argv = [sys.argv[0]] + rest
+
+    cfg = init_env(os.path.join(os.path.dirname(__file__), "..", "configs", "emage_audio.yaml"))
+    seed_everything(cfg.seed)
+
+    model_cfg = EmageAudioConfig.from_dict(cfg.model.to_dict())
+    params = init_emage(jax.random.PRNGKey(cfg.seed), model_cfg)
+    suite = load_suite(vq_args.vq_path, vq_args.random_vq)
+
+    mesh = make_data_mesh(int(cfg.data.train_bs))
+    optimizer = make_optimizer(
+        learning_rate=float(cfg.solver.learning_rate),
+        beta1=cfg.solver.adam_beta1, beta2=cfg.solver.adam_beta2,
+        eps=float(cfg.solver.adam_epsilon),
+        weight_decay=float(cfg.solver.adam_weight_decay),
+        max_grad_norm=float(cfg.solver.max_grad_norm),
+        lr_scheduler=cfg.solver.lr_scheduler,
+        warmup_steps=int(cfg.solver.lr_warmup_steps),
+        total_steps=int(cfg.solver.max_train_steps),
+    )
+    step_fn = make_emage_train_step(model_cfg, suite, optimizer, mesh,
+                                    mask_schedule=cfg.get("mask_schedule", "reference"))
+    opt_state = init_opt_state(optimizer, params)
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+
+    train_ds = BEAT2Dataset(cfg.data.meta_paths, "train", model_cfg.pose_fps,
+                            model_cfg.audio_sr, None, variant="emage_footcontact")
+    train_loader = DataLoader(train_ds, cfg.data.train_bs, seed=cfg.seed)
+    val_ds = BEAT2Dataset(cfg.data.test_meta_paths, "val", model_cfg.pose_fps,
+                          model_cfg.audio_sr, None, variant="emage_footcontact")
+    val_loader = DataLoader(val_ds, min(cfg.data.train_bs, max(len(val_ds), 1)),
+                            shuffle=False) if len(val_ds) else None
+
+    def predict_rot6d(params, batch):
+        """Seed-mask forward -> head routing -> VQ decode -> full-body rot6d
+        (reference val path, train_emage_audio.py:185-204)."""
+        motion = jnp.asarray(batch["motion"])
+        bs, t, jc = motion.shape
+        j = jc // 3
+        gt6 = axis_angle_to_rotation_6d(motion.reshape(bs, t, j, 3)).reshape(bs, t, j * 6)
+        masked_motion = jnp.concatenate(
+            [gt6, jnp.asarray(batch["trans"]), jnp.asarray(batch["foot_contact"])], -1
+        )
+        mask = jnp.ones_like(masked_motion).at[:, : model_cfg.seed_frames].set(0.0)
+        pred = emage_forward(params, model_cfg, jnp.asarray(batch["audio"]),
+                             jnp.zeros((bs, 1), jnp.int32), masked_motion, mask)
+        sel = _select_decode_inputs(model_cfg, pred)
+        dec = vq_decode(suite, **sel)
+        return dec["all_motion4inference"][:, :, :-7], gt6
+
+    val_fn = windowed_fgd_val(val_loader, predict_rot6d) if val_loader else None
+
+    loop_cfg = TrainLoopConfig(
+        max_train_steps=int(cfg.solver.max_train_steps),
+        validation_steps=int(cfg.validation.validation_steps),
+        log_period=int(cfg.get("log_period", 50)),
+        ckpt_dir=os.path.join(cfg.output_dir, "ckpt"),
+        resume_from_checkpoint=cfg.get("resume_from_checkpoint"),
+        seed=cfg.seed,
+    )
+    run_training(
+        loop_cfg, step_fn, params, opt_state, train_loader,
+        place_batch=lambda b: shard_batch(b, mesh),
+        val_fn=val_fn, model_config=model_cfg,
+    )
+
+
+if __name__ == "__main__":
+    main()

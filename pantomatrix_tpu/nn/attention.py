@@ -114,6 +114,19 @@ def transformer_decoder_layer(
     return layer_norm(p["norm3"], x + dropout(ff, dropout_rate, ctx))
 
 
+def _stack_layers(layers: Params, num_layers: int) -> Params:
+    """{'0': tree, '1': tree, ...} -> one tree with a leading layer dim (for scan)."""
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[layers[str(i)] for i in range(num_layers)]
+    )
+
+
+def _layer_keys(ctx: Ctx, num_layers: int) -> jnp.ndarray:
+    if ctx.train and ctx.rng is not None:
+        return jax.random.split(ctx.next_rng(), num_layers)
+    return jnp.zeros((num_layers, 2), jnp.uint32)
+
+
 def transformer_encoder(
     p: Params,
     x: jnp.ndarray,
@@ -123,11 +136,28 @@ def transformer_encoder(
     dropout_rate: float = 0.1,
     src_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """torch nn.TransformerEncoder (no final norm): layers.{i} param children."""
-    for i in range(num_layers):
-        x = transformer_encoder_layer(
-            p["layers"][str(i)], x, num_heads, ctx, dropout_rate, src_mask
+    """torch nn.TransformerEncoder (no final norm): layers.{i} param children.
+
+    Layers run under ``lax.scan`` over stacked params — one compiled layer body
+    regardless of depth (compile time matters: XLA is superlinear in graph size).
+    """
+    if num_layers == 1:
+        return transformer_encoder_layer(
+            p["layers"]["0"], x, num_heads, ctx, dropout_rate, src_mask
         )
+    stacked = _stack_layers(p["layers"], num_layers)
+    keys = _layer_keys(ctx, num_layers)
+
+    def body(h, layer):
+        lp, key = layer
+        lctx = Ctx(train=ctx.train, rng=key if ctx.train else None,
+                   axis_name=ctx.axis_name)
+        return (
+            transformer_encoder_layer(lp, h, num_heads, lctx, dropout_rate, src_mask),
+            None,
+        )
+
+    x, _ = jax.lax.scan(body, x, (stacked, keys))
     return x
 
 
@@ -142,11 +172,26 @@ def transformer_decoder(
     tgt_mask: Optional[jnp.ndarray] = None,
     memory_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    for i in range(num_layers):
-        tgt = transformer_decoder_layer(
-            p["layers"][str(i)], tgt, memory, num_heads, ctx, dropout_rate,
+    """torch nn.TransformerDecoder (no final norm), scanned over stacked layers."""
+    if num_layers == 1:
+        return transformer_decoder_layer(
+            p["layers"]["0"], tgt, memory, num_heads, ctx, dropout_rate,
             tgt_mask, memory_mask,
         )
+    stacked = _stack_layers(p["layers"], num_layers)
+    keys = _layer_keys(ctx, num_layers)
+
+    def body(h, layer):
+        lp, key = layer
+        lctx = Ctx(train=ctx.train, rng=key if ctx.train else None,
+                   axis_name=ctx.axis_name)
+        return (
+            transformer_decoder_layer(lp, h, memory, num_heads, lctx, dropout_rate,
+                                      tgt_mask, memory_mask),
+            None,
+        )
+
+    tgt, _ = jax.lax.scan(body, tgt, (stacked, keys))
     return tgt
 
 

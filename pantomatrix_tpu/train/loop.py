@@ -1,0 +1,127 @@
+"""Generic step-indexed training loop.
+
+Parity with the shared harness behavior of the three reference trainers (SURVEY.md
+§2.6): step-indexed loop to ``max_train_steps``, val every ``validation_steps``
+(windowed FGD, best-checkpoint keeping), resume with intra-epoch fast-forward, running
+loss meters, optional wandb.
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ckpt import BestKeeper, load_train_state
+
+
+class Meters:
+    """Running-mean loss meters (tqdm-desc parity, train_emage_audio.py:504-519)."""
+
+    def __init__(self):
+        self.sums: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+
+    def update(self, losses: Dict[str, Any]) -> None:
+        for k, v in losses.items():
+            self.sums[k] = self.sums.get(k, 0.0) + float(v)
+            self.counts[k] = self.counts.get(k, 0) + 1
+
+    def means(self) -> Dict[str, float]:
+        return {k: self.sums[k] / self.counts[k] for k in self.sums}
+
+    def reset(self) -> None:
+        self.sums.clear()
+        self.counts.clear()
+
+
+@dataclass
+class TrainLoopConfig:
+    max_train_steps: int = 1000
+    validation_steps: int = 500
+    log_period: int = 50
+    ckpt_dir: str = "./outputs/ckpt"
+    resume_from_checkpoint: Optional[str] = None
+    seed: int = 42
+    wandb: bool = False
+
+
+def run_training(
+    loop_cfg: TrainLoopConfig,
+    step_fn: Callable,
+    params,
+    opt_state,
+    train_loader,
+    place_batch: Callable[[dict], dict],
+    val_fn: Optional[Callable] = None,
+    model_config=None,
+    log_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
+):
+    """Run ``step_fn(params, opt_state, batch, rng, iteration)`` to max_train_steps.
+
+    val_fn(params, iteration) -> metric (lower better), called every
+    validation_steps; best/last checkpoints kept in loop_cfg.ckpt_dir.
+    """
+    iteration = 0
+    if loop_cfg.resume_from_checkpoint:
+        params, opt_state, iteration, _ = load_train_state(loop_cfg.resume_from_checkpoint)
+        print(f"resumed from {loop_cfg.resume_from_checkpoint} at step {iteration}")
+
+    keeper = BestKeeper(loop_cfg.ckpt_dir, model_config)
+    rng = jax.random.PRNGKey(loop_cfg.seed)
+    meters = Meters()
+    epoch = 0
+    steps_per_epoch = max(len(train_loader), 1)
+    epoch = iteration // steps_per_epoch
+    skip = iteration % steps_per_epoch  # deterministic resume (ref :313-317)
+
+    data_time = net_time = 0.0
+    while iteration < loop_cfg.max_train_steps:
+        train_loader.set_epoch(epoch)
+        for i, batch in enumerate(train_loader):
+            if skip:
+                if i < skip:
+                    continue
+                skip = 0
+            t0 = time.time()
+            batch = place_batch(batch)
+            data_time += time.time() - t0
+            t0 = time.time()
+            params, opt_state, losses = step_fn(
+                params, opt_state, batch, jax.random.fold_in(rng, iteration),
+                jnp.asarray(float(iteration)),
+            )
+            iteration += 1
+            if iteration % loop_cfg.log_period == 0:
+                jax.block_until_ready(losses)
+            net_time += time.time() - t0
+            meters.update({k: np.asarray(v) for k, v in losses.items()})
+
+            if iteration % loop_cfg.log_period == 0:
+                means = meters.means()
+                msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items()))
+                print(f"step {iteration}: {msg} (data {data_time:.1f}s net {net_time:.1f}s)")
+                if log_fn:
+                    log_fn(iteration, means)
+                meters.reset()
+
+            if val_fn is not None and iteration % loop_cfg.validation_steps == 0:
+                metric = float(val_fn(params, iteration))
+                improved = keeper.update(metric, params, opt_state, iteration)
+                print(f"val @ {iteration}: metric={metric:.4f}"
+                      + (" (new best)" if improved else ""))
+
+            if iteration >= loop_cfg.max_train_steps:
+                break
+        epoch += 1
+
+    if val_fn is None:
+        keeper.update(float("inf"), params, opt_state, iteration)
+    return params, opt_state, iteration
+
+
+__all__ = ["Meters", "TrainLoopConfig", "run_training"]

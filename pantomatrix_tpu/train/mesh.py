@@ -35,6 +35,15 @@ def make_mesh(
     return Mesh(grid, tuple(axis_names))
 
 
+def make_data_mesh(batch_size: int, axis: str = "data") -> Mesh:
+    """Largest device count that divides the global batch (shard_map needs equal
+    shards; DistributedSampler pads similarly in the reference)."""
+    n = len(jax.devices())
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(n, (axis,))
+
+
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Batch-axis sharding: leading dim split over the data axis."""
     return NamedSharding(mesh, P(axis))
@@ -54,4 +63,4 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, replicated(mesh)), tree)
 
 
-__all__ = ["data_sharding", "make_mesh", "replicate", "replicated", "shard_batch"]
+__all__ = ["data_sharding", "make_data_mesh", "make_mesh", "replicate", "replicated", "shard_batch"]

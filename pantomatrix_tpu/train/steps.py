@@ -1,0 +1,284 @@
+"""Jittable, mesh-sharded train steps for the three model families.
+
+TPU-native replacement for the reference DDP trainers' inner loops
+(/root/reference/train_emage_audio.py:130-204, train_camn_audio.py:91-124,
+train_disco_audio.py:129-182): each step is a pure function
+(params, opt_state, batch, rng, iteration) -> (params, opt_state, metrics), run under
+``shard_map`` over a Mesh("data") so that
+
+- the batch axis is sharded across devices (DistributedSampler parity),
+- gradients are ``pmean``-ed over the axis (DDP all-reduce parity),
+- BatchNorm batch stats are ``pmean``-ed (SyncBatchNorm parity,
+  train_emage_audio.py:248).
+
+Param trees keep the full torch state_dict layout (weights + BN buffers); the step
+partitions them into trainable leaves and BN buffers internally, so checkpoints stay
+import/export-compatible.
+
+Documented reference-bug policy (SURVEY.md §7):
+- grad clip before backward (= no clipping) -> see train/optim.py clip_parity;
+- EMAGE mask-ratio schedule ``(iter/135*400)*0.95+0.05`` saturates >1 within the first
+  iteration (everything masked). ``mask_schedule="reference"`` keeps it;
+  ``"corrected"`` uses iter/(135*400), capped at 1.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..core.rotations import axis_angle_to_rotation_6d, rotation_6d_to_matrix
+from ..models.camn import camn_forward
+from ..models.configs import CamnAudioConfig, DiscoAudioConfig, EmageAudioConfig
+from ..models.disco import disco_forward
+from ..models.emage import emage_forward
+from ..models.emage_vq import EmageVQSuite, vq_map2index, vq_map2latent
+from ..nn.layers import Ctx, apply_bn_updates
+from .losses import cls_loss, contrastive_loss, geodesic_loss, rec_loss
+
+BN_BUFFER_KEYS = ("running_mean", "running_var", "num_batches_tracked")
+
+
+def partition_params(params) -> Tuple[Dict, Dict]:
+    """Split a torch-layout param tree into (trainable, bn_buffers) by leaf name."""
+    trainable: Dict = {}
+    buffers: Dict = {}
+
+    def walk(src, t_dst, b_dst):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                t_sub, b_sub = {}, {}
+                walk(v, t_sub, b_sub)
+                if t_sub:
+                    t_dst[k] = t_sub
+                if b_sub:
+                    b_dst[k] = b_sub
+            elif k in BN_BUFFER_KEYS:
+                b_dst[k] = v
+            else:
+                t_dst[k] = v
+
+    walk(params, trainable, buffers)
+    return trainable, buffers
+
+
+def combine_params(trainable, buffers):
+    """Inverse of partition_params."""
+    out: Dict = {}
+
+    def merge(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                merge(dst.setdefault(k, {}), v)
+            else:
+                dst[k] = v
+
+    merge(out, trainable)
+    merge(out, buffers)
+    return out
+
+
+def mask_ratio_schedule(iteration, mode: str = "reference"):
+    """EMAGE random-mask ratio (train_emage_audio.py:163)."""
+    if mode == "reference":
+        return (iteration / 135 * 400) * 0.95 + 0.05
+    if mode == "corrected":
+        return jnp.minimum(iteration / (135 * 400) * 0.95 + 0.05, 1.0)
+    raise ValueError(mode)
+
+
+def _train_ctx(rng, axis_name):
+    return Ctx(train=True, rng=rng, axis_name=axis_name, bn_updates={})
+
+
+def make_emage_train_step(
+    cfg: EmageAudioConfig,
+    suite: EmageVQSuite,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "data",
+    mask_schedule: str = "reference",
+) -> Callable:
+    """EMAGE 3-pass masked objective against frozen VQ targets
+    (train_emage_audio.py:130-183)."""
+
+    def loss_fn(trainable, buffers, batch, rng, iteration):
+        params = combine_params(trainable, buffers)
+        motion_gt = batch["motion"]  # (bs, t, 165) axis-angle
+        bs, t, jc = motion_gt.shape
+        j = jc // 3
+        rot6d = axis_angle_to_rotation_6d(motion_gt.reshape(bs, t, j, 3)).reshape(bs, t, j * 6)
+        speaker_id = jnp.zeros((bs, 1), jnp.int32)
+
+        target_idx = vq_map2index(suite, rot6d, batch["expressions"],
+                                  batch["foot_contact"], batch["trans"])
+        target_lat = vq_map2latent(suite, rot6d, batch["expressions"],
+                                   batch["foot_contact"], batch["trans"])
+        target_idx = jax.tree_util.tree_map(jax.lax.stop_gradient, target_idx)
+        target_lat = jax.tree_util.tree_map(jax.lax.stop_gradient, target_lat)
+
+        masked_motion = jnp.concatenate(
+            [rot6d, batch["trans"], batch["foot_contact"]], axis=-1
+        )  # (bs, t, 337)
+
+        r_mask, r_drop = jax.random.split(rng)
+        w = dict(lu=cfg.lu, ll=cfg.ll, lh=cfg.lh, lf=cfg.lf)
+        c = dict(cu=cfg.cu, cl=cfg.cl, ch=cfg.ch, cf=cfg.cf)
+        losses = {}
+
+        # pass 1: seed mask (first seed_frames unmasked), audio on
+        mask1 = jnp.ones_like(masked_motion).at[:, : cfg.seed_frames].set(0.0)
+        ctx1 = _train_ctx(jax.random.fold_in(r_drop, 1), axis_name)
+        pred1 = emage_forward(params, cfg, batch["audio"], speaker_id,
+                              masked_motion, mask1, use_audio=True, ctx=ctx1)
+        losses["rec_seed"] = rec_loss(pred1, target_lat, **w)
+        losses["cls_seed"] = cls_loss(pred1, target_idx, **c)
+
+        # pass 2: random element mask, audio on (BN running stats thread pass->pass;
+        # normalization uses batch stats so outputs are unaffected)
+        ratio = mask_ratio_schedule(iteration, mask_schedule)
+        mask2 = (jax.random.uniform(r_mask, masked_motion.shape) < ratio).astype(
+            masked_motion.dtype
+        )
+        ctx2 = _train_ctx(jax.random.fold_in(r_drop, 2), axis_name)
+        params2 = apply_bn_updates(params, ctx1.bn_updates)
+        pred2 = emage_forward(params2, cfg, batch["audio"], speaker_id,
+                              masked_motion, mask2, use_audio=True, ctx=ctx2)
+        losses["rec_audio"] = rec_loss(pred2, target_lat, **w)
+        losses["cls_audio"] = cls_loss(pred2, target_idx, **c)
+
+        # pass 3: same mask, audio off
+        ctx3 = _train_ctx(jax.random.fold_in(r_drop, 3), axis_name)
+        params3 = apply_bn_updates(params2, ctx2.bn_updates)
+        pred3 = emage_forward(params3, cfg, batch["audio"], speaker_id,
+                              masked_motion, mask2, use_audio=False, ctx=ctx3)
+        losses["rec_mask"] = rec_loss(pred3, target_lat, **w)
+        losses["cls_mask"] = cls_loss(pred3, target_idx, **c)
+
+        all_loss = sum(losses.values())
+        losses["all"] = all_loss
+        _, new_buffers = partition_params(apply_bn_updates(params3, ctx3.bn_updates))
+        return all_loss, (losses, new_buffers)
+
+    return _make_step(loss_fn, optimizer, mesh, axis_name, with_iteration=True)
+
+
+def make_camn_train_step(
+    cfg: CamnAudioConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "data",
+) -> Callable:
+    """CaMN geodesic objective (train_camn_audio.py:91-116)."""
+
+    def loss_fn(trainable, buffers, batch, rng):
+        params = combine_params(trainable, buffers)
+        motion_gt = batch["motion"]
+        bs, t, jc = motion_gt.shape
+        j = jc // 3
+        rot6d = axis_angle_to_rotation_6d(motion_gt.reshape(bs, t, j, 3)).reshape(bs, t, j * 6)
+        speaker_id = jnp.zeros((bs, 1), jnp.int32)
+        ctx = _train_ctx(rng, axis_name)
+        pred = camn_forward(params, cfg, batch["audio"], speaker_id, cfg.seed_frames,
+                            seed_motion=rot6d, return_axis_angle=False, ctx=ctx)
+        m_pred = rotation_6d_to_matrix(pred["motion"].reshape(bs, t, j, 6))
+        m_gt = rotation_6d_to_matrix(rot6d.reshape(bs, t, j, 6))
+        loss = geodesic_loss(m_pred, m_gt)
+        _, new_buffers = partition_params(apply_bn_updates(params, ctx.bn_updates))
+        return loss, ({"loss": loss, "all_loss": loss}, new_buffers)
+
+    return _make_step(loss_fn, optimizer, mesh, axis_name, with_iteration=False)
+
+
+def make_disco_train_step(
+    cfg: DiscoAudioConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "data",
+) -> Callable:
+    """DisCo geodesic + rhythm/content contrastive disentanglement
+    (train_disco_audio.py:129-170). Features are L2-normalized along TIME (dim=1),
+    reproducing the reference's F.normalize(fea, dim=1)."""
+
+    def loss_fn(trainable, buffers, batch, rng):
+        params = combine_params(trainable, buffers)
+        motion_gt = batch["motion"]
+        bs, t, jc = motion_gt.shape
+        j = jc // 3
+        rot6d = axis_angle_to_rotation_6d(motion_gt.reshape(bs, t, j, 3)).reshape(bs, t, j * 6)
+        speaker_id = jnp.zeros((bs, 1), jnp.int32)
+        ctx = _train_ctx(rng, axis_name)
+        pred = disco_forward(params, cfg, batch["audio"], speaker_id, cfg.seed_frames,
+                             seed_motion=rot6d, return_axis_angle=False, ctx=ctx)
+        m_pred = rotation_6d_to_matrix(pred["motion"].reshape(bs, t, j, 6))
+        m_gt = rotation_6d_to_matrix(rot6d.reshape(bs, t, j, 6))
+        losses = {"loss": geodesic_loss(m_pred, m_gt)}
+
+        normalize_t = lambda x: x / jnp.maximum(
+            jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12
+        )
+        losses["rhythm"] = contrastive_loss(
+            normalize_t(pred["audio_fea_r"]), batch["rhythm_label"]
+        )
+        losses["content"] = contrastive_loss(
+            normalize_t(pred["audio_fea_c"]), batch["content_label"]
+        )
+        all_loss = sum(losses.values())
+        losses["all_loss"] = all_loss
+        _, new_buffers = partition_params(apply_bn_updates(params, ctx.bn_updates))
+        return all_loss, (losses, new_buffers)
+
+    return _make_step(loss_fn, optimizer, mesh, axis_name, with_iteration=False)
+
+
+# ---------------------------------------------------------------------------
+# shared plumbing
+# ---------------------------------------------------------------------------
+
+def _make_step(loss_fn, optimizer, mesh: Optional[Mesh], axis_name: str,
+               with_iteration: bool):
+    def step(params, opt_state, batch, rng, iteration):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        trainable, buffers = partition_params(params)
+        args = (batch, rng, iteration) if with_iteration else (batch, rng)
+        (_, (losses, new_buffers)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(trainable, buffers, *args)
+        grads = jax.lax.pmean(grads, axis_name)
+        losses = jax.lax.pmean(losses, axis_name)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
+        return combine_params(new_trainable, new_buffers), opt_state, losses
+
+    if mesh is None:
+        mesh = Mesh(jax.devices()[:1], (axis_name,))
+    mapped = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0, 1))
+
+
+def init_opt_state(optimizer: optax.GradientTransformation, params) -> Any:
+    """Initialize optimizer state over the TRAINABLE leaves only (BN buffers are
+    carried in the param tree but not optimized)."""
+    trainable, _ = partition_params(params)
+    return optimizer.init(trainable)
+
+
+__all__ = [
+    "combine_params",
+    "init_opt_state",
+    "make_camn_train_step",
+    "make_disco_train_step",
+    "make_emage_train_step",
+    "mask_ratio_schedule",
+    "partition_params",
+]

@@ -1,0 +1,86 @@
+"""Metric tests: Fréchet properties, onset detection on synthetic clicks, BC scoring,
+L1div/LVD/MSE behavior."""
+import numpy as np
+import pytest
+
+from pantomatrix_tpu.eval.dsp import onset_detect, onset_strength
+from pantomatrix_tpu.eval.metrics import BC, FGD, L1div, LVDFace, MSEFace, frechet_distance
+
+
+def test_frechet_distance_properties():
+    rng = np.random.RandomState(0)
+    a = rng.normal(0, 1, (500, 16))
+    b = rng.normal(0, 1, (500, 16))
+    same = frechet_distance(a, a)
+    close = frechet_distance(a, b)
+    far = frechet_distance(a, b + 3.0)
+    assert same == pytest.approx(0.0, abs=1e-6)
+    assert close < 1.0
+    assert far > close + 100.0  # |mu diff|^2 = 16 * 9 = 144
+
+
+def test_fgd_windows_and_ordering():
+    rng = np.random.RandomState(1)
+    fgd = FGD(download_path="/nonexistent", window=16, stride=16)
+    gt = rng.normal(0, 1, (1, 200, 330)).astype(np.float32)
+    near = gt + rng.normal(0, 0.1, gt.shape).astype(np.float32)
+    far = rng.normal(2, 3, gt.shape).astype(np.float32)
+    fgd.update(near, gt)
+    d_near = fgd.compute()
+    fgd.reset()
+    fgd.update(far, gt)
+    d_far = fgd.compute()
+    assert d_near < d_far
+
+
+def test_onset_detect_finds_clicks():
+    sr = 16000
+    y = np.zeros(sr * 4, np.float32)
+    click_times = [0.5, 1.5, 2.5, 3.5]
+    for ct in click_times:
+        i = int(ct * sr)
+        y[i : i + 200] += np.sin(2 * np.pi * 1000 * np.arange(200) / sr) * np.hanning(200)
+    onsets = onset_detect(y, sr)
+    assert len(onsets) == len(click_times)
+    for ct in click_times:
+        assert np.min(np.abs(onsets - ct)) < 0.05
+
+
+def test_bc_alignment_scores():
+    bc = BC(sigma=0.3, order=7)
+    pose_fps = 30
+    t = 300
+    rng = np.random.RandomState(2)
+    # motion with sharp velocity minima at beats 2 s / 5 s / 8 s
+    base = rng.normal(0, 1, (t, 55 * 3)).astype(np.float32).cumsum(0) * 0.01
+    pos = base.copy()
+    motion_beat = bc.load_motion(pos, 0, t, pose_fps)
+    audio_aligned = motion_beat.copy()            # perfectly aligned "onsets"
+    audio_offset = motion_beat + 1.0              # 1 s off
+    s_good = bc.compute(audio_aligned, motion_beat, t, pose_fps)
+    s_bad = bc.compute(audio_offset, motion_beat, t, pose_fps)
+    assert s_good == pytest.approx(1.0, abs=1e-6)
+    assert s_bad < s_good
+    assert bc.avg() == pytest.approx((s_good + s_bad) / 2)
+
+
+def test_l1div_and_face_metrics():
+    rng = np.random.RandomState(3)
+    still = np.tile(rng.normal(0, 1, (1, 165)).astype(np.float32), (50, 1))
+    moving = rng.normal(0, 1, (50, 165)).astype(np.float32)
+    l1 = L1div()
+    l1.compute(still)
+    l1.compute(moving)
+    assert l1.values[0] == pytest.approx(0.0, abs=1e-3)  # fp32 mean-subtraction noise
+    assert l1.values[1] > 1.0
+
+    v_gt = rng.normal(0, 1, (40, 30)).astype(np.float32)
+    lvd = LVDFace(); mse = MSEFace()
+    assert lvd.compute(v_gt, v_gt) == pytest.approx(0.0, abs=1e-7)
+    assert mse.compute(v_gt, v_gt) == pytest.approx(0.0, abs=1e-9)
+    shifted = v_gt + 0.5
+    assert mse.compute(shifted, v_gt) == pytest.approx(0.25, abs=1e-4)
+    # constant offset has zero velocity difference
+    assert lvd.compute(shifted, v_gt) == pytest.approx(0.0, abs=1e-6)
+    # different lengths are truncated to the common range
+    assert np.isfinite(mse.compute(v_gt[:30], v_gt))

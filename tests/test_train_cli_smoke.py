@@ -1,0 +1,97 @@
+"""End-to-end debug-mode smoke runs of the train CLIs on a synthetic mini-BEAT2
+(the reference's --debug "iterate one data point for fast testing" behavior)."""
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from test_data_pipeline import write_wav
+
+
+@pytest.fixture(scope="module")
+def mini_beat2(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mini_beat2")
+    (root / "smplxflame_30").mkdir()
+    (root / "footcontact").mkdir()
+    (root / "wave16k").mkdir()
+    rng = np.random.RandomState(0)
+    metas = []
+    for vid in ("2_a_0_1_1", "2_a_0_2_2"):
+        n = 40
+        np.savez(
+            root / "smplxflame_30" / f"{vid}.npz",
+            betas=np.zeros(300, np.float32),
+            poses=rng.uniform(-0.5, 0.5, (n, 165)).astype(np.float32),
+            expressions=rng.uniform(-1, 1, (n, 100)).astype(np.float32),
+            trans=rng.uniform(-1, 1, (n, 3)).astype(np.float32),
+            model="smplx2020", gender="neutral", mocap_frame_rate=30,
+        )
+        np.save(root / "footcontact" / f"{vid}.npy",
+                (rng.uniform(size=(n, 4)) < 0.5).astype(np.float32))
+        wav = rng.uniform(-0.3, 0.3, n * 16000 // 30).astype(np.float32)
+        write_wav(root / "wave16k" / f"{vid}.wav", wav, 16000)
+        metas.append({
+            "video_id": vid, "mode": "train",
+            "motion_path": str(root / "smplxflame_30" / f"{vid}.npz"),
+            "audio_path": str(root / "wave16k" / f"{vid}.wav"),
+            "start_idx": 0, "end_idx": 32,
+            "content_label": 0 if vid.endswith("1") else 1,
+            "rhythm_label": 1,
+        })
+    meta_path = root / "meta.json"
+    meta_path.write_text(json.dumps(metas))
+    return str(meta_path)
+
+
+def _run_cli(main_fn, tmp_path, mini_beat2, extra=()):
+    argv = [
+        "prog", "--debug",
+        f"data.meta_paths=['{mini_beat2}']",
+        f"data.test_meta_paths=['{mini_beat2}']",
+        "data.train_bs=2",
+        f"output_dir={tmp_path}",
+        "log_period=1",
+        # tiny model so the debug run compiles fast on CPU
+        "model.hidden_size=32", "model.n_layer=1", "model.dropout_prob=0.0",
+    ] + list(extra)
+    old = sys.argv
+    sys.argv = argv
+    try:
+        main_fn()
+    finally:
+        sys.argv = old
+    # a checkpoint directory must exist afterwards
+    exps = os.listdir(tmp_path)
+    assert exps
+    ckpt = os.path.join(tmp_path, exps[0], "ckpt")
+    assert os.path.exists(os.path.join(ckpt, "last.bin"))
+    assert os.path.exists(os.path.join(ckpt, "last", "model.safetensors"))
+
+
+def test_train_camn_debug(tmp_path, mini_beat2):
+    from pantomatrix_tpu.cli.train_camn import main
+
+    _run_cli(main, tmp_path, mini_beat2)
+
+
+def test_train_disco_debug(tmp_path, mini_beat2):
+    from pantomatrix_tpu.cli.train_disco import main
+
+    _run_cli(main, tmp_path, mini_beat2)
+
+
+def test_train_emage_debug(tmp_path, mini_beat2):
+    from pantomatrix_tpu.cli.train_emage import main
+
+    _run_cli(
+        main, tmp_path, mini_beat2,
+        extra=[
+            "--random_vq",
+            "model.audio_f=32", "model.motion_f=16", "model.speaker_dims=4",
+            # clip length (32 frames) must equal the model window / PE period
+            "model.pose_length=32", "model.seed_frames=4",
+            "model.vae_codebook_size=256", "model.vae_length=256",
+        ],
+    )

@@ -1,0 +1,175 @@
+"""Train-step tests: multi-device DP invariance, BN buffer updates, 3-pass EMAGE step."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pantomatrix_tpu.models.camn import init_camn
+from pantomatrix_tpu.models.configs import (
+    CamnAudioConfig,
+    DiscoAudioConfig,
+    EmageAudioConfig,
+)
+from pantomatrix_tpu.models.disco import init_disco
+from pantomatrix_tpu.models.emage import init_emage
+from pantomatrix_tpu.models.emage_vq import EmageVQSuite, init_emage_vae, init_emage_vqvae
+from pantomatrix_tpu.models.configs import EmageVAEConvConfig, EmageVQVAEConvConfig
+from pantomatrix_tpu.train.mesh import make_mesh, replicate, shard_batch
+from pantomatrix_tpu.train.optim import make_optimizer
+from pantomatrix_tpu.train.steps import (
+    combine_params,
+    init_opt_state,
+    make_camn_train_step,
+    make_disco_train_step,
+    make_emage_train_step,
+    partition_params,
+)
+
+CAMN_CFG = CamnAudioConfig(hidden_size=32, n_layer=1, dropout_prob=0.0)
+FRAMES = 8
+
+
+def camn_batch(bs=8, seed=0):
+    from pantomatrix_tpu.nn.blocks import wav_encoder_out_len
+
+    rng = np.random.RandomState(seed)
+    t = wav_encoder_out_len(16000, 128, "camn")  # model t comes from the audio stack
+    return {
+        "motion": jnp.asarray(rng.uniform(-0.5, 0.5, (bs, t, 129)).astype(np.float32)),
+        "audio": jnp.asarray(rng.uniform(-1, 1, (bs, 16000)).astype(np.float32)),
+    }
+
+
+def test_partition_combine_roundtrip():
+    params = init_camn(jax.random.PRNGKey(0), CAMN_CFG)
+    t, b = partition_params(params)
+    flat_b = jax.tree_util.tree_leaves_with_path(b)
+    assert flat_b and all(
+        p[-1].key in ("running_mean", "running_var", "num_batches_tracked")
+        for p, _ in flat_b
+    )
+    merged = combine_params(t, b)
+    for (p1, a), (p2, c) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(merged),
+    ):
+        assert jax.tree_util.keystr(p1) == jax.tree_util.keystr(p2)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def _run_camn(mesh_n, batch, params, opt=None):
+    import optax
+
+    # steps donate params/opt_state; copy so callers can reuse their trees
+    params = jax.tree_util.tree_map(jnp.array, params)
+    mesh = make_mesh(mesh_n)
+    opt = opt or make_optimizer(learning_rate=1e-3)
+    step = make_camn_train_step(CAMN_CFG, opt, mesh)
+    opt_state = init_opt_state(opt, params)
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+    batch = shard_batch(batch, mesh)
+    new_params, opt_state, losses = step(params, opt_state, batch,
+                                         jax.random.PRNGKey(42), jnp.zeros(()))
+    return new_params, losses
+
+
+def test_camn_dp_invariance_8_devices():
+    """1-device and 8-device runs of the same global batch produce identical updates
+    (grad pmean + synced BN stats). Dropout is 0 so per-shard rngs are inert."""
+    import optax
+
+    assert len(jax.devices()) >= 8
+    params = init_camn(jax.random.PRNGKey(1), CAMN_CFG)
+    batch = camn_batch()
+    # plain SGD so the parameter delta IS the (pmean'd) gradient — Adam's first step
+    # is ~sign(g) and amplifies fp-rounding noise into false mismatches
+    p1, l1 = _run_camn(1, batch, params, optax.sgd(0.1))
+    p8, l8 = _run_camn(8, batch, params, optax.sgd(0.1))
+    np.testing.assert_allclose(float(l1["loss"]), float(l8["loss"]), rtol=1e-5)
+    for (k1, a), (k2, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p1), jax.tree_util.tree_leaves_with_path(p8)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5,
+            err_msg=jax.tree_util.keystr(k1),
+        )
+
+
+def test_camn_step_updates_bn_buffers():
+    params = init_camn(jax.random.PRNGKey(1), CAMN_CFG)
+    new_params, losses = _run_camn(1, camn_batch(), params)
+    assert np.isfinite(float(losses["loss"]))
+    old_rm = params["audio_encoder"]["feat_extractor"]["0"]["bn1"]["running_mean"]
+    new_rm = new_params["audio_encoder"]["feat_extractor"]["0"]["bn1"]["running_mean"]
+    assert not np.allclose(np.asarray(old_rm), np.asarray(new_rm))
+    nbt = new_params["audio_encoder"]["feat_extractor"]["0"]["bn1"]["num_batches_tracked"]
+    assert int(nbt) == 1
+
+
+def test_disco_step_runs():
+    cfg = DiscoAudioConfig(hidden_size=32, n_layer=1, dropout_prob=0.0)
+    params = init_disco(jax.random.PRNGKey(2), cfg)
+    mesh = make_mesh(2)
+    opt = make_optimizer(learning_rate=1e-3)
+    step = make_disco_train_step(cfg, opt, mesh)
+    opt_state = init_opt_state(opt, params)
+    batch = camn_batch(bs=4, seed=3)
+    batch["rhythm_label"] = jnp.asarray([[0], [1], [0], [2]])
+    batch["content_label"] = jnp.asarray([[1], [1], [0], [2]])
+    new_params, _, losses = step(replicate(params, mesh), replicate(opt_state, mesh),
+                                 shard_batch(batch, mesh), jax.random.PRNGKey(0),
+                                 jnp.zeros(()))
+    for k in ("loss", "rhythm", "content", "all_loss"):
+        assert np.isfinite(float(losses[k])), k
+
+
+EMAGE_CFG = EmageAudioConfig(
+    audio_f=32, motion_f=16, hidden_size=32, speaker_dims=4,
+    pose_length=FRAMES, seed_frames=2, vae_codebook_size=16, vae_length=16,
+    dropout_prob=0.0,
+)
+
+
+def tiny_suite(key):
+    ks = jax.random.split(key, 5)
+    mk = lambda k, dim: (
+        init_emage_vqvae(k, EmageVQVAEConvConfig(vae_test_dim=dim, vae_length=16,
+                                                 vae_codebook_size=16)),
+        EmageVQVAEConvConfig(vae_test_dim=dim, vae_length=16, vae_codebook_size=16),
+    )
+    g_cfg = EmageVAEConvConfig(vae_length=24, vae_test_dim=61)
+    return EmageVQSuite(
+        face=mk(ks[0], 106), upper=mk(ks[1], 78), hands=mk(ks[2], 180),
+        lower=mk(ks[3], 61), global_motion=(init_emage_vae(ks[4], g_cfg), g_cfg),
+    )
+
+
+def test_emage_three_pass_step():
+    rng = np.random.RandomState(5)
+    bs, t = 4, FRAMES
+    batch = {
+        "motion": jnp.asarray(rng.uniform(-0.5, 0.5, (bs, t, 165)).astype(np.float32)),
+        "audio": jnp.asarray(rng.uniform(-1, 1, (bs, t * 533)).astype(np.float32)),
+        "expressions": jnp.asarray(rng.uniform(-1, 1, (bs, t, 100)).astype(np.float32)),
+        "trans": jnp.asarray(rng.uniform(-1, 1, (bs, t, 3)).astype(np.float32)),
+        "foot_contact": jnp.asarray((rng.uniform(size=(bs, t, 4)) < 0.5).astype(np.float32)),
+    }
+    params = init_emage(jax.random.PRNGKey(6), EMAGE_CFG)
+    old_w = np.asarray(params["moton_proj"]["weight"])  # before donation
+    suite = tiny_suite(jax.random.PRNGKey(7))
+    mesh = make_mesh(4)
+    opt = make_optimizer(learning_rate=1e-3)
+    step = make_emage_train_step(EMAGE_CFG, suite, opt, mesh)
+    opt_state = init_opt_state(opt, params)
+    new_params, opt_state, losses = step(
+        replicate(params, mesh), replicate(opt_state, mesh), shard_batch(batch, mesh),
+        jax.random.PRNGKey(8), jnp.zeros(()),
+    )
+    for k in ("rec_seed", "cls_seed", "rec_audio", "cls_audio", "rec_mask", "cls_mask", "all"):
+        assert np.isfinite(float(losses[k])), k
+    # 3 BN update rounds recorded
+    nbt = new_params["audio_encoder_body"]["feat_extractor"]["0"]["bn1"]["num_batches_tracked"]
+    assert int(nbt) == 3
+    # frozen targets: suite params must not appear in the updated tree; model weights move
+    assert not np.allclose(old_w, np.asarray(new_params["moton_proj"]["weight"]))
