@@ -67,9 +67,12 @@ EXTRA_JOINT_NAMES = [
 ]
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class SmplxModel:
-    """Static SMPL-X parameters as JAX arrays (float32)."""
+    """Static SMPL-X parameters as JAX arrays (float32).
+
+    eq=False -> identity hash/equality, so a model instance can be a static jit
+    argument (reuse the same instance to share compiled executables)."""
 
     v_template: Array      # (V, 3)
     shapedirs: Array       # (V, 3, num_betas) shape blendshapes
