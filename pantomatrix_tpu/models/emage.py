@@ -193,9 +193,50 @@ def _window_step(params, cfg: EmageAudioConfig, suite: EmageVQSuite,
     return net_out, last_motion
 
 
-# params and suite are pytrees (EmageVQSuite is registered), cfg is static: windows of
-# the same shape share one compiled executable across emage_inference calls.
-_window_step_jit = jax.jit(_window_step, static_argnames=("cfg",))
+def _inference_impl(params, cfg: EmageAudioConfig, suite: EmageVQSuite, audio,
+                    speaker_id, masked_motion, mask, rounds: int, remain: int):
+    """Whole AR generation as ONE device program: lax.scan over the full windows
+    (the seed dependency makes rounds sequential, but all dispatch stays on device)
+    plus an unrolled remainder window. Numerically identical to the reference's
+    python loop — the same slices and ops, staged differently."""
+    window, pre = cfg.pose_length, cfg.seed_frames
+    stride = window - pre
+
+    def one_window(last_motion, start, size):
+        wmask = jax.lax.dynamic_slice_in_dim(mask, start, size, axis=1)
+        wmotion = jax.lax.dynamic_slice_in_dim(masked_motion, start, size, axis=1)
+        seed_src = jax.lax.dynamic_slice_in_dim(masked_motion, start, pre, axis=1)
+        seed = jnp.where(wmask[:, :pre] == 0, seed_src, last_motion)
+        wmotion = jnp.concatenate([seed, wmotion[:, pre:]], axis=1)
+        wmask = jnp.concatenate([jnp.zeros_like(wmask[:, :pre]), wmask[:, pre:]], axis=1)
+        audio_slice = jax.lax.dynamic_slice_in_dim(
+            audio, start * SAMPLES_PER_FRAME, size * SAMPLES_PER_FRAME, axis=1
+        )
+        return _window_step(params, cfg, suite, audio_slice, speaker_id, wmotion, wmask)
+
+    def body(last_motion, i):
+        net_out, last = one_window(last_motion, i * stride, window)
+        cropped = {k: v[:, :-pre] for k, v in net_out.items()}
+        return last, cropped
+
+    last_motion, stacked = jax.lax.scan(
+        body, masked_motion[:, :pre, :], jnp.arange(rounds)
+    )
+    # (rounds, bs, stride, c) -> (bs, rounds*stride, c), same order as concatenation
+    outs = {
+        k: jnp.transpose(v, (1, 0, 2, 3)).reshape(v.shape[1], rounds * stride, -1)
+        for k, v in stacked.items()
+    }
+    if remain > pre:
+        net_out, _ = one_window(last_motion, rounds * stride, pre + remain)
+        outs = {k: jnp.concatenate([outs[k], net_out[k]], axis=1) for k in outs}
+    return outs
+
+
+# params and suite are pytrees (EmageVQSuite is registered); cfg/rounds/remain are
+# static: every audio length maps to one compiled whole-sequence program, and all
+# lengths share the scanned window body.
+_inference_jit = jax.jit(_inference_impl, static_argnames=("cfg", "rounds", "remain"))
 
 
 def emage_inference(
@@ -215,7 +256,6 @@ def emage_inference(
     """
     length = audio.shape[1] * 30 // 16000
     bs = audio.shape[0]
-    c = cfg.pose_dims + 7  # 337
 
     fake_aa = jnp.zeros((bs, length, 55, 3), jnp.float32)
     fake_motion = axis_angle_to_rotation_6d(fake_aa).reshape(bs, length, -1)
@@ -234,42 +274,8 @@ def emage_inference(
     rounds = (length - pre) // (window - pre)
     remain = (length - pre) % (window - pre)
 
-    outs = {k: [] for k in ("rec_face", "rec_upper", "rec_hands", "rec_lower",
-                            "cls_face", "cls_upper", "cls_hands", "cls_lower")}
-    last_motion = masked_motion[:, :pre, :]
-
-    def run_window(start, end):
-        nonlocal last_motion
-        wmask = mask[:, start:end, :]
-        wmotion = masked_motion[:, start:end, :]
-        seed = jnp.where(
-            wmask[:, :pre, :] == 0, masked_motion[:, start : start + pre, :], last_motion
-        )
-        wmotion = jnp.concatenate([seed, wmotion[:, pre:, :]], axis=1)
-        wmask = jnp.concatenate(
-            [jnp.zeros_like(wmask[:, :pre, :]), wmask[:, pre:, :]], axis=1
-        )
-        a0 = start * SAMPLES_PER_FRAME
-        audio_slice = audio[:, a0 : a0 + (end - start) * SAMPLES_PER_FRAME]
-        net_out, last = _window_step_jit(
-            params, cfg, suite, audio_slice, speaker_id, wmotion, wmask
-        )
-        last_motion = last
-        return net_out
-
-    for i in range(rounds):
-        start = i * (window - pre)
-        net_out = run_window(start, start + window)
-        for k in outs:
-            outs[k].append(net_out[k][:, :-pre])
-
-    if remain > pre:
-        final_start = rounds * (window - pre)
-        net_out = run_window(final_start, final_start + pre + remain)
-        for k in outs:
-            outs[k].append(net_out[k])
-
-    return {k: jnp.concatenate(v, axis=1) for k, v in outs.items()}
+    return _inference_jit(params, cfg, suite, audio, speaker_id, masked_motion, mask,
+                          rounds=rounds, remain=remain)
 
 
 def init_emage(key: jax.Array, cfg: EmageAudioConfig) -> Params:

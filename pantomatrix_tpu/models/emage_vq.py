@@ -84,8 +84,11 @@ def vqvae_decode_index(p: Params, cfg: EmageVQVAEConvConfig, indices: jnp.ndarra
 
 def vqvae_decode_latent(p: Params, cfg: EmageVQVAEConvConfig, latent: jnp.ndarray) -> jnp.ndarray:
     """Re-quantize a continuous latent to its nearest codes, then decode
-    (modeling_emage_audio.py:61-70)."""
-    idx = nearest_code(latent, p["quantizer"]["embedding"]["weight"])
+    (modeling_emage_audio.py:61-70). Uses the fused Pallas codebook search on TPU
+    (ops/vq_pallas.py; identical indices to the jnp expansion)."""
+    from ..ops.vq_pallas import nearest_code_fast
+
+    idx = nearest_code_fast(latent, p["quantizer"]["embedding"]["weight"])
     return vqvae_decode_index(p, cfg, idx)
 
 

@@ -191,6 +191,39 @@ def render2d(
     return write_video(frames, output_path, fps)
 
 
+def render3d(
+    motion_dict: dict,
+    output_path: str,
+    model: Optional[SmplxModel] = None,
+    height: int = 720,
+    width: int = 480,
+    fps: int = 30,
+    remove_global: bool = True,
+    face_only: bool = False,
+) -> str:
+    """3D-normalized skeleton video (npz2pose.py render3d :298-316 /
+    _draw_joints_3d :154-177): per frame, xy min-max normalized to the image, z
+    normalized to [0,1] and carried in the third channel."""
+    if model is None:
+        from ..core.smplx import default_model_path, load_smplx
+
+        path = default_model_path()
+        if path is None:
+            raise FileNotFoundError("SMPL-X model npz not found (set SMPLX_MODEL_PATH)")
+        model = load_smplx(path)
+    joints = joints_from_motion(model, motion_dict, remove_global, face_only)
+    frames = []
+    for j3d in joints:
+        xy = j3d[:, :2].copy()
+        z = j3d[:, 2]
+        z_norm = (z - z.min()) / (z.max() - z.min() + 1e-8)
+        xy[:, 0] = (xy[:, 0] - xy[:, 0].min()) / (xy[:, 0].max() - xy[:, 0].min() + 1e-8) * (width - 1)
+        xy[:, 1] = (xy[:, 1] - xy[:, 1].min()) / (xy[:, 1].max() - xy[:, 1].min() + 1e-8) * (height - 1)
+        j2d = np.hstack([xy, z_norm.reshape(-1, 1)])
+        frames.append(draw_frame(j2d, height, width, face_only))
+    return write_video(frames, output_path, fps)
+
+
 def write_video(frames, output_path: str, fps: int = 30) -> str:
     """Encode BGR frames with cv2 (mp4v; falls back to MJPG .avi without a codec)."""
     import cv2
@@ -215,5 +248,6 @@ __all__ = [
     "joints_from_motion",
     "project_perspective",
     "render2d",
+    "render3d",
     "write_video",
 ]

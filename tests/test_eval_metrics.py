@@ -84,3 +84,31 @@ def test_l1div_and_face_metrics():
     assert lvd.compute(shifted, v_gt) == pytest.approx(0.0, abs=1e-6)
     # different lengths are truncated to the common range
     assert np.isfinite(mse.compute(v_gt[:30], v_gt))
+
+
+def test_evaluate_clips_pipeline(tmp_path):
+    """End-to-end evaluation_fn parity path on synthetic npz clips + synthetic FK."""
+    import jax
+    from pantomatrix_tpu.core.smplx import make_synthetic_model
+    from pantomatrix_tpu.eval.pipeline import evaluate_clips
+    from pantomatrix_tpu.io.beat_format import beat_format_save
+
+    rng = np.random.RandomState(0)
+    model = make_synthetic_model(jax.random.PRNGKey(0), num_vertices=16)
+    gt_list, pred_list = [], []
+    for vid in ("a", "b"):
+        t = 70
+        gt = rng.uniform(-0.4, 0.4, (t, 165)).astype(np.float32)
+        pred = gt + rng.normal(0, 0.05, gt.shape).astype(np.float32)
+        expr = rng.uniform(-1, 1, (t, 100)).astype(np.float32)
+        for name, motion in (("gt", gt), ("pred", pred)):
+            beat_format_save(str(tmp_path / f"{vid}_{name}.npz"), motion,
+                             expressions=expr, trans=np.zeros((t, 3), np.float32))
+        gt_list.append({"video_id": vid, "motion_path": str(tmp_path / f"{vid}_gt.npz"),
+                        "audio_path": None})
+        pred_list.append({"video_id": vid,
+                          "motion_path": str(tmp_path / f"{vid}_pred.npz")})
+    m = evaluate_clips(gt_list, pred_list, smplx_model=model)
+    assert np.isfinite(m["fgd"]) or np.isnan(m["fgd"])  # too few windows -> nan OK
+    assert np.isfinite(m["l1"])
+    assert np.isfinite(m["lvd"]) and np.isfinite(m["mse"])

@@ -95,3 +95,35 @@ def test_train_emage_debug(tmp_path, mini_beat2):
             "model.vae_codebook_size=256", "model.vae_length=256",
         ],
     )
+
+
+def test_evaluate_cli_camn(tmp_path, mini_beat2):
+    """--test flow: generate test-set npz from a checkpoint, run the metric pipeline."""
+    import json as _json
+
+    from pantomatrix_tpu.cli.evaluate import main
+    from pantomatrix_tpu.models.api import CamnAudioModel
+    from pantomatrix_tpu.models.configs import CamnAudioConfig
+
+    # mini_beat2 metas are all mode=train; write a test-mode copy
+    metas = _json.load(open(mini_beat2))
+    for m in metas:
+        m["mode"] = "test"
+    meta_path = str(tmp_path / "meta_test.json")
+    open(meta_path, "w").write(_json.dumps(metas))
+
+    ckpt = str(tmp_path / "camn_ckpt")
+    CamnAudioModel(CamnAudioConfig(hidden_size=32, n_layer=1), seed=0).save_pretrained(ckpt)
+
+    save = str(tmp_path / "test_out")
+    old = sys.argv
+    sys.argv = ["prog", "--family", "camn", "--model_path", ckpt,
+                "--meta", meta_path, "--save_folder", save]
+    try:
+        main()
+    finally:
+        sys.argv = old
+    m = _json.load(open(os.path.join(save, "metrics.json")))
+    assert "fgd" in m
+    outs = [f for f in os.listdir(save) if f.endswith("_output.npz")]
+    assert len(outs) == 2  # unique test videos

@@ -94,3 +94,19 @@ def test_render2d_draw_and_project():
     frame = draw_frame(j2d, 720, 480)
     assert frame.shape == (720, 480, 3)
     assert frame.sum() > 0  # something was drawn
+
+
+def test_render3d_synthetic(tmp_path):
+    from pantomatrix_tpu.viz.render2d import render3d
+
+    model = make_synthetic_model(jax.random.PRNGKey(3), num_vertices=32)
+    rng = np.random.RandomState(4)
+    n = 5
+    motion = {
+        "betas": np.zeros(300, np.float32),
+        "poses": rng.uniform(-0.3, 0.3, (n, 165)).astype(np.float32),
+        "expressions": np.zeros((n, 100), np.float32),
+        "trans": np.zeros((n, 3), np.float32),
+    }
+    out = render3d(motion, str(tmp_path / "v3d.mp4"), model=model, height=64, width=48)
+    assert os.path.exists(out)
