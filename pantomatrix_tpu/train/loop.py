@@ -80,6 +80,7 @@ def run_training(
     skip = iteration % steps_per_epoch  # deterministic resume (ref :313-317)
 
     data_time = net_time = 0.0
+    pending = []
     while iteration < loop_cfg.max_train_steps:
         train_loader.set_epoch(epoch)
         for i, batch in enumerate(train_loader):
@@ -96,12 +97,15 @@ def run_training(
                 jnp.asarray(float(iteration)),
             )
             iteration += 1
+            pending.append(losses)  # keep dispatch async; sync only at log_period
             if iteration % loop_cfg.log_period == 0:
                 jax.block_until_ready(losses)
             net_time += time.time() - t0
-            meters.update({k: np.asarray(v) for k, v in losses.items()})
 
             if iteration % loop_cfg.log_period == 0:
+                for l in pending:
+                    meters.update({k: float(v) for k, v in l.items()})
+                pending.clear()
                 means = meters.means()
                 msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items()))
                 print(f"step {iteration}: {msg} (data {data_time:.1f}s net {net_time:.1f}s)")
