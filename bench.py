@@ -28,8 +28,9 @@ def main():
     params = init_emage(jax.random.PRNGKey(0), cfg)
     suite = init_vq_suite(jax.random.PRNGKey(1))
 
-    batch = 8
-    seconds = 28.4  # matches the reference example clip length
+    # the BASELINE long-form serving config: 64 clips x 60 s
+    batch = 64
+    seconds = 60.0
     n_samples = int(seconds * 16000)
     rng = np.random.RandomState(0)
     audio = jnp.asarray(rng.uniform(-1, 1, (batch, n_samples)).astype(np.float32))
@@ -41,8 +42,8 @@ def main():
         return out
 
     run()  # compile
+    iters = 20
     t0 = time.time()
-    iters = 3
     for _ in range(iters):
         out = run()
     wall = (time.time() - t0) / iters
