@@ -3,13 +3,15 @@
 TPU-native replacement for the reference DDP trainers' inner loops
 (/root/reference/train_emage_audio.py:130-204, train_camn_audio.py:91-124,
 train_disco_audio.py:129-182): each step is a pure function
-(params, opt_state, batch, rng, iteration) -> (params, opt_state, metrics), run under
-``shard_map`` over a Mesh("data") so that
+(params, opt_state, batch, rng, iteration) -> (params, opt_state, metrics), sharded
+over a Mesh("data") so that
 
 - the batch axis is sharded across devices (DistributedSampler parity),
-- gradients are ``pmean``-ed over the axis (DDP all-reduce parity),
-- BatchNorm batch stats are ``pmean``-ed (SyncBatchNorm parity,
-  train_emage_audio.py:248).
+- gradients equal the global-batch gradient (DDP all-reduce parity): in the default
+  pjit mode the loss is a global mean and GSPMD inserts the reductions; in shard_map
+  mode they are explicit ``pmean``s,
+- BatchNorm batch stats are global-batch stats (SyncBatchNorm parity,
+  train_emage_audio.py:248): automatic under pjit, explicit ``pmean`` under shard_map.
 
 Param trees keep the full torch state_dict layout (weights + BN buffers); the step
 partitions them into trainable leaves and BN buffers internally, so checkpoints stay
@@ -27,8 +29,9 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..core.rotations import axis_angle_to_rotation_6d, rotation_6d_to_matrix
@@ -102,9 +105,12 @@ def make_emage_train_step(
     mesh: Optional[Mesh] = None,
     axis_name: str = "data",
     mask_schedule: str = "reference",
+    spmd: str = "pjit",
 ) -> Callable:
     """EMAGE 3-pass masked objective against frozen VQ targets
     (train_emage_audio.py:130-183)."""
+
+    ctx_axis = axis_name if spmd == "shard_map" else None
 
     def loss_fn(trainable, buffers, batch, rng, iteration):
         params = combine_params(trainable, buffers)
@@ -132,7 +138,7 @@ def make_emage_train_step(
 
         # pass 1: seed mask (first seed_frames unmasked), audio on
         mask1 = jnp.ones_like(masked_motion).at[:, : cfg.seed_frames].set(0.0)
-        ctx1 = _train_ctx(jax.random.fold_in(r_drop, 1), axis_name)
+        ctx1 = _train_ctx(jax.random.fold_in(r_drop, 1), ctx_axis)
         pred1 = emage_forward(params, cfg, batch["audio"], speaker_id,
                               masked_motion, mask1, use_audio=True, ctx=ctx1)
         losses["rec_seed"] = rec_loss(pred1, target_lat, **w)
@@ -144,7 +150,7 @@ def make_emage_train_step(
         mask2 = (jax.random.uniform(r_mask, masked_motion.shape) < ratio).astype(
             masked_motion.dtype
         )
-        ctx2 = _train_ctx(jax.random.fold_in(r_drop, 2), axis_name)
+        ctx2 = _train_ctx(jax.random.fold_in(r_drop, 2), ctx_axis)
         params2 = apply_bn_updates(params, ctx1.bn_updates)
         pred2 = emage_forward(params2, cfg, batch["audio"], speaker_id,
                               masked_motion, mask2, use_audio=True, ctx=ctx2)
@@ -152,7 +158,7 @@ def make_emage_train_step(
         losses["cls_audio"] = cls_loss(pred2, target_idx, **c)
 
         # pass 3: same mask, audio off
-        ctx3 = _train_ctx(jax.random.fold_in(r_drop, 3), axis_name)
+        ctx3 = _train_ctx(jax.random.fold_in(r_drop, 3), ctx_axis)
         params3 = apply_bn_updates(params2, ctx2.bn_updates)
         pred3 = emage_forward(params3, cfg, batch["audio"], speaker_id,
                               masked_motion, mask2, use_audio=False, ctx=ctx3)
@@ -164,7 +170,7 @@ def make_emage_train_step(
         _, new_buffers = partition_params(apply_bn_updates(params3, ctx3.bn_updates))
         return all_loss, (losses, new_buffers)
 
-    return _make_step(loss_fn, optimizer, mesh, axis_name, with_iteration=True)
+    return _make_step(loss_fn, optimizer, mesh, axis_name, with_iteration=True, spmd=spmd)
 
 
 def make_camn_train_step(
@@ -172,8 +178,11 @@ def make_camn_train_step(
     optimizer: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     axis_name: str = "data",
+    spmd: str = "pjit",
 ) -> Callable:
     """CaMN geodesic objective (train_camn_audio.py:91-116)."""
+
+    ctx_axis = axis_name if spmd == "shard_map" else None
 
     def loss_fn(trainable, buffers, batch, rng):
         params = combine_params(trainable, buffers)
@@ -182,7 +191,7 @@ def make_camn_train_step(
         j = jc // 3
         rot6d = axis_angle_to_rotation_6d(motion_gt.reshape(bs, t, j, 3)).reshape(bs, t, j * 6)
         speaker_id = jnp.zeros((bs, 1), jnp.int32)
-        ctx = _train_ctx(rng, axis_name)
+        ctx = _train_ctx(rng, ctx_axis)
         pred = camn_forward(params, cfg, batch["audio"], speaker_id, cfg.seed_frames,
                             seed_motion=rot6d, return_axis_angle=False, ctx=ctx)
         m_pred = rotation_6d_to_matrix(pred["motion"].reshape(bs, t, j, 6))
@@ -191,7 +200,7 @@ def make_camn_train_step(
         _, new_buffers = partition_params(apply_bn_updates(params, ctx.bn_updates))
         return loss, ({"loss": loss, "all_loss": loss}, new_buffers)
 
-    return _make_step(loss_fn, optimizer, mesh, axis_name, with_iteration=False)
+    return _make_step(loss_fn, optimizer, mesh, axis_name, with_iteration=False, spmd=spmd)
 
 
 def make_disco_train_step(
@@ -199,10 +208,13 @@ def make_disco_train_step(
     optimizer: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     axis_name: str = "data",
+    spmd: str = "pjit",
 ) -> Callable:
     """DisCo geodesic + rhythm/content contrastive disentanglement
     (train_disco_audio.py:129-170). Features are L2-normalized along TIME (dim=1),
     reproducing the reference's F.normalize(fea, dim=1)."""
+
+    ctx_axis = axis_name if spmd == "shard_map" else None
 
     def loss_fn(trainable, buffers, batch, rng):
         params = combine_params(trainable, buffers)
@@ -211,7 +223,7 @@ def make_disco_train_step(
         j = jc // 3
         rot6d = axis_angle_to_rotation_6d(motion_gt.reshape(bs, t, j, 3)).reshape(bs, t, j * 6)
         speaker_id = jnp.zeros((bs, 1), jnp.int32)
-        ctx = _train_ctx(rng, axis_name)
+        ctx = _train_ctx(rng, ctx_axis)
         pred = disco_forward(params, cfg, batch["audio"], speaker_id, cfg.seed_frames,
                              seed_motion=rot6d, return_axis_angle=False, ctx=ctx)
         m_pred = rotation_6d_to_matrix(pred["motion"].reshape(bs, t, j, 6))
@@ -232,7 +244,7 @@ def make_disco_train_step(
         _, new_buffers = partition_params(apply_bn_updates(params, ctx.bn_updates))
         return all_loss, (losses, new_buffers)
 
-    return _make_step(loss_fn, optimizer, mesh, axis_name, with_iteration=False)
+    return _make_step(loss_fn, optimizer, mesh, axis_name, with_iteration=False, spmd=spmd)
 
 
 # ---------------------------------------------------------------------------
@@ -240,30 +252,64 @@ def make_disco_train_step(
 # ---------------------------------------------------------------------------
 
 def _make_step(loss_fn, optimizer, mesh: Optional[Mesh], axis_name: str,
-               with_iteration: bool):
+               with_iteration: bool, spmd: str = "pjit"):
+    """Wrap a loss into a sharded update step.
+
+    spmd="pjit" (default): plain jit with GSPMD sharding constraints — batch sharded
+    over the data axis, params/opt replicated. Mathematically identical to DDP: the
+    global-mean loss yields the pmean'd gradient, and BatchNorm's batch stats are
+    computed over the GLOBAL batch (SyncBatchNorm parity) because GSPMD reduces across
+    shards automatically. This is also much faster per call than shard_map on
+    platforms where shard_map pays per-array dispatch overhead (see CLAUDE.md).
+
+    spmd="shard_map": explicit per-shard program with lax.pmean for grads/losses and
+    per-shard rng folds — kept for explicit-collective workflows.
+    """
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()[:1]), (axis_name,))
+
+    if spmd == "shard_map":
+        def step(params, opt_state, batch, rng, iteration):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+            trainable, buffers = partition_params(params)
+            args = (batch, rng, iteration) if with_iteration else (batch, rng)
+            (_, (losses, new_buffers)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(trainable, buffers, *args)
+            grads = jax.lax.pmean(grads, axis_name)
+            losses = jax.lax.pmean(losses, axis_name)
+            updates, opt_state = optimizer.update(grads, opt_state, trainable)
+            new_trainable = optax.apply_updates(trainable, updates)
+            return combine_params(new_trainable, new_buffers), opt_state, losses
+
+        mapped = shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis_name), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(mapped, donate_argnums=(0, 1))
+
+    # pjit path: the loss is a global mean, so no explicit collectives are needed.
     def step(params, opt_state, batch, rng, iteration):
-        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         trainable, buffers = partition_params(params)
         args = (batch, rng, iteration) if with_iteration else (batch, rng)
         (_, (losses, new_buffers)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(trainable, buffers, *args)
-        grads = jax.lax.pmean(grads, axis_name)
-        losses = jax.lax.pmean(losses, axis_name)
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         new_trainable = optax.apply_updates(trainable, updates)
         return combine_params(new_trainable, new_buffers), opt_state, losses
 
-    if mesh is None:
-        mesh = Mesh(jax.devices()[:1], (axis_name,))
-    mapped = shard_map(
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P(axis_name))
+    return jax.jit(
         step,
-        mesh=mesh,
-        in_specs=(P(), P(), P(axis_name), P(), P()),
-        out_specs=(P(), P(), P()),
-        check_vma=False,
+        in_shardings=(replicated, replicated, sharded, replicated, replicated),
+        out_shardings=(replicated, replicated, replicated),
+        donate_argnums=(0, 1),
     )
-    return jax.jit(mapped, donate_argnums=(0, 1))
 
 
 def init_opt_state(optimizer: optax.GradientTransformation, params) -> Any:
