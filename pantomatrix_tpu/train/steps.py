@@ -212,7 +212,12 @@ def make_disco_train_step(
 ) -> Callable:
     """DisCo geodesic + rhythm/content contrastive disentanglement
     (train_disco_audio.py:129-170). Features are L2-normalized along TIME (dim=1),
-    reproducing the reference's F.normalize(fea, dim=1)."""
+    reproducing the reference's F.normalize(fea, dim=1).
+
+    Note on DP semantics: the contrastive loss is all-pairs within a batch. Under
+    spmd="shard_map" each shard contrasts only its local batch — exactly what the
+    reference's DDP does. Under the default pjit mode pairs span the GLOBAL batch
+    (more negatives; a strict superset of the reference objective)."""
 
     ctx_axis = axis_name if spmd == "shard_map" else None
 
