@@ -15,3 +15,23 @@ BEAT2 training/eval, HF-style checkpoints) as an idiomatic JAX framework:
 """
 
 __version__ = "0.1.0"
+
+_API_EXPORTS = {
+    "AutoConfig", "AutoModel", "CamnAudioModel", "DiscoAudioModel",
+    "EmageAudioModel", "EmageVAEConv", "EmageVQModel", "EmageVQVAEConv",
+}
+
+
+def __getattr__(name):
+    """Lazy top-level re-exports: pantomatrix_tpu.AutoModel etc. (jax stays unloaded
+    until a model is actually used)."""
+    if name in _API_EXPORTS:
+        from . import models as _m
+        from .models import api as _api
+
+        return getattr(_api, name)
+    if name == "EmageGenerator":
+        from .serve import EmageGenerator
+
+        return EmageGenerator
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -127,3 +127,31 @@ def test_evaluate_cli_camn(tmp_path, mini_beat2):
     assert "fgd" in m
     outs = [f for f in os.listdir(save) if f.endswith("_output.npz")]
     assert len(outs) == 2  # unique test videos
+
+
+def test_emage_cli_on_reference_example(tmp_path):
+    """Full flagship CLI path on the actual reference example audio (MP3 decode ->
+    windowed AR inference -> VQ decode -> BEAT npz with expressions+trans)."""
+    audio_dir = "/root/reference/examples/audio"
+    if not os.path.isdir(audio_dir):
+        pytest.skip("reference examples not available")
+    from pantomatrix_tpu.cli.test_emage import main
+
+    save = str(tmp_path / "emage_out")
+    old = sys.argv
+    sys.argv = [
+        "prog", "--audio_folder", audio_dir, "--save_folder", save, "--random_init",
+    ]
+    try:
+        main()
+    finally:
+        sys.argv = old
+    outs = [f for f in os.listdir(save) if f.endswith("_output.npz")]
+    assert outs
+    d = np.load(os.path.join(save, outs[0]), allow_pickle=True)
+    t = d["poses"].shape[0]
+    assert 27 * 30 < t < 30 * 30          # ~28.7 s at 30 fps
+    assert d["poses"].shape == (t, 165)
+    assert d["expressions"].shape == (t, 100)
+    assert d["trans"].shape == (t, 3)
+    assert np.isfinite(d["poses"]).all()
