@@ -213,10 +213,10 @@ def lbs(
     V = model.num_vertices
     J = model.parents.shape[0]
     dtype = model.v_template.dtype
-    poses = full_pose_with_hand_mean(model, poses.astype(dtype), flat_hand_mean)
+    poses = full_pose_with_hand_mean(model, jnp.asarray(poses, dtype), flat_hand_mean)
+    betas = jnp.asarray(betas, dtype)
     if betas.ndim == 1:
         betas = jnp.broadcast_to(betas[None], (T, betas.shape[0]))
-    betas = betas.astype(dtype)
 
     # Shape + expression blendshapes: one fused matmul over the concatenated basis.
     v_shaped = model.v_template[None] + jnp.einsum(
