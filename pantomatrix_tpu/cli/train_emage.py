@@ -75,8 +75,11 @@ def main():
         warmup_steps=int(cfg.solver.lr_warmup_steps),
         total_steps=int(cfg.solver.max_train_steps),
     )
-    step_fn = make_emage_train_step(model_cfg, suite, optimizer, mesh,
-                                    mask_schedule=cfg.get("mask_schedule", "reference"))
+    step_fn = make_emage_train_step(
+        model_cfg, suite, optimizer, mesh,
+        mask_schedule=cfg.get("mask_schedule", "reference"),
+        gradient_checkpointing=bool(cfg.solver.get("gradient_checkpointing", False)),
+    )
     opt_state = init_opt_state(optimizer, params)
     params = replicate(params, mesh)
     opt_state = replicate(opt_state, mesh)

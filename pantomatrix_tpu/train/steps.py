@@ -106,11 +106,28 @@ def make_emage_train_step(
     axis_name: str = "data",
     mask_schedule: str = "reference",
     spmd: str = "pjit",
+    gradient_checkpointing: bool = False,
 ) -> Callable:
     """EMAGE 3-pass masked objective against frozen VQ targets
-    (train_emage_audio.py:130-183)."""
+    (train_emage_audio.py:130-183). ``gradient_checkpointing`` remats each forward
+    pass (solver.gradient_checkpointing parity) — trades ~1/3 more FLOPs for
+    activation memory, raising the max batch per chip."""
 
     ctx_axis = axis_name if spmd == "shard_map" else None
+
+    def _fwd_with_bn(params, audio, speaker_id, masked_motion, mask, use_audio, rng):
+        # returns BN updates as outputs (a side-channel dict would leak tracers out
+        # of the remat scope when gradient_checkpointing is on)
+        ctx = _train_ctx(rng, ctx_axis)
+        out = emage_forward(params, cfg, audio, speaker_id, masked_motion, mask,
+                            use_audio, ctx)
+        return out, ctx.bn_updates
+
+    fwd = (
+        jax.checkpoint(_fwd_with_bn, static_argnums=(5,))
+        if gradient_checkpointing
+        else _fwd_with_bn
+    )
 
     def loss_fn(trainable, buffers, batch, rng, iteration):
         params = combine_params(trainable, buffers)
@@ -138,9 +155,8 @@ def make_emage_train_step(
 
         # pass 1: seed mask (first seed_frames unmasked), audio on
         mask1 = jnp.ones_like(masked_motion).at[:, : cfg.seed_frames].set(0.0)
-        ctx1 = _train_ctx(jax.random.fold_in(r_drop, 1), ctx_axis)
-        pred1 = emage_forward(params, cfg, batch["audio"], speaker_id,
-                              masked_motion, mask1, use_audio=True, ctx=ctx1)
+        pred1, bn1 = fwd(params, batch["audio"], speaker_id, masked_motion, mask1,
+                         True, jax.random.fold_in(r_drop, 1))
         losses["rec_seed"] = rec_loss(pred1, target_lat, **w)
         losses["cls_seed"] = cls_loss(pred1, target_idx, **c)
 
@@ -150,24 +166,22 @@ def make_emage_train_step(
         mask2 = (jax.random.uniform(r_mask, masked_motion.shape) < ratio).astype(
             masked_motion.dtype
         )
-        ctx2 = _train_ctx(jax.random.fold_in(r_drop, 2), ctx_axis)
-        params2 = apply_bn_updates(params, ctx1.bn_updates)
-        pred2 = emage_forward(params2, cfg, batch["audio"], speaker_id,
-                              masked_motion, mask2, use_audio=True, ctx=ctx2)
+        params2 = apply_bn_updates(params, bn1)
+        pred2, bn2 = fwd(params2, batch["audio"], speaker_id, masked_motion, mask2,
+                         True, jax.random.fold_in(r_drop, 2))
         losses["rec_audio"] = rec_loss(pred2, target_lat, **w)
         losses["cls_audio"] = cls_loss(pred2, target_idx, **c)
 
         # pass 3: same mask, audio off
-        ctx3 = _train_ctx(jax.random.fold_in(r_drop, 3), ctx_axis)
-        params3 = apply_bn_updates(params2, ctx2.bn_updates)
-        pred3 = emage_forward(params3, cfg, batch["audio"], speaker_id,
-                              masked_motion, mask2, use_audio=False, ctx=ctx3)
+        params3 = apply_bn_updates(params2, bn2)
+        pred3, bn3 = fwd(params3, batch["audio"], speaker_id, masked_motion, mask2,
+                         False, jax.random.fold_in(r_drop, 3))
         losses["rec_mask"] = rec_loss(pred3, target_lat, **w)
         losses["cls_mask"] = cls_loss(pred3, target_idx, **c)
 
         all_loss = sum(losses.values())
         losses["all"] = all_loss
-        _, new_buffers = partition_params(apply_bn_updates(params3, ctx3.bn_updates))
+        _, new_buffers = partition_params(apply_bn_updates(params3, bn3))
         return all_loss, (losses, new_buffers)
 
     return _make_step(loss_fn, optimizer, mesh, axis_name, with_iteration=True, spmd=spmd)

@@ -173,3 +173,38 @@ def test_emage_three_pass_step():
     assert int(nbt) == 3
     # frozen targets: suite params must not appear in the updated tree; model weights move
     assert not np.allclose(old_w, np.asarray(new_params["moton_proj"]["weight"]))
+
+
+def test_emage_step_gradient_checkpointing_matches():
+    """Remat changes memory, not math: same losses and updates as the plain step."""
+    import optax
+
+    rng = np.random.RandomState(5)
+    bs, t = 2, FRAMES
+    batch = {
+        "motion": jnp.asarray(rng.uniform(-0.5, 0.5, (bs, t, 165)).astype(np.float32)),
+        "audio": jnp.asarray(rng.uniform(-1, 1, (bs, t * 533)).astype(np.float32)),
+        "expressions": jnp.asarray(rng.uniform(-1, 1, (bs, t, 100)).astype(np.float32)),
+        "trans": jnp.zeros((bs, t, 3)), "foot_contact": jnp.zeros((bs, t, 4)),
+    }
+    suite = tiny_suite(jax.random.PRNGKey(7))
+    mesh = make_mesh(1)
+    opt = optax.sgd(0.1)
+
+    outs = []
+    for gc in (False, True):
+        params = init_emage(jax.random.PRNGKey(6), EMAGE_CFG)
+        step = make_emage_train_step(EMAGE_CFG, suite, opt, mesh,
+                                     gradient_checkpointing=gc)
+        opt_state = init_opt_state(opt, params)
+        new_params, _, losses = step(
+            replicate(params, mesh), replicate(opt_state, mesh),
+            shard_batch(batch, mesh), jax.random.PRNGKey(8), jnp.zeros(()),
+        )
+        outs.append((new_params, losses))
+    (p0, l0), (p1, l1) = outs
+    np.testing.assert_allclose(float(l0["all"]), float(l1["all"]), rtol=1e-5)
+    for (k0, a), (k1, b) in zip(jax.tree_util.tree_leaves_with_path(p0),
+                                jax.tree_util.tree_leaves_with_path(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(k0))
