@@ -58,13 +58,17 @@ def windowed_fgd_val(val_loader, predict_rot6d_fn, window: int = 64):
     """Build a val_fn computing windowed FGD over the val split (reference val loop,
     train_emage_audio.py:332-346). predict_rot6d_fn(params, batch) ->
     (pred_rot6d, gt_rot6d) with full-body 330-channel layout."""
+    import jax
+
     from ..eval.metrics import FGD
+
+    predict_jit = jax.jit(predict_rot6d_fn)
 
     def val_fn(params, iteration):
         fgd = FGD(download_path=os.environ.get("EMAGE_EVALTOOLS", "./emage_evaltools/"),
                   window=window, stride=window)
         for batch in val_loader:
-            pred, gt = predict_rot6d_fn(params, batch)
+            pred, gt = predict_jit(params, batch)
             for i in range(pred.shape[0]):
                 fgd.update(np.asarray(pred[i : i + 1]), np.asarray(gt[i : i + 1]))
         return fgd.compute()

@@ -62,6 +62,8 @@ def main():
         _, vq = load_models(e_args)
 
     save_list = []
+    fwd_jit = None
+    decode_jit = None
     total_t = 0
     t0 = time.time()
     for meta in test_list:
@@ -71,19 +73,23 @@ def main():
         out_path = os.path.join(args.save_folder, f"{meta['video_id']}_output.npz")
         if args.family == "emage":
             from ..models.emage import _select_decode_inputs
+            from .test_emage import make_decode_jit
 
+            if decode_jit is None:
+                decode_jit = make_decode_jit(vq)
             latent = model.inference(audio, speaker_id, vq)
             sel = _select_decode_inputs(cfg, latent)
-            pred = vq.decode(**sel, get_global_motion=True,
-                             ref_trans=jnp.zeros((1, 3)))
+            pred = decode_jit(sel, jnp.zeros((1, 1, 3))[:, 0])
             motion = np.asarray(pred["motion_axis_angle"])[0]
             beat_format_save(out_path, motion, upsample=30 // cfg.pose_fps,
                              expressions=np.asarray(pred["expression"])[0],
                              trans=np.asarray(pred["trans"])[0])
         else:
-            motion = np.asarray(
-                model(audio, speaker_id, seed_frames=cfg.seed_frames)["motion_axis_angle"]
-            )[0]
+            import jax
+
+            if fwd_jit is None:
+                fwd_jit = jax.jit(lambda a, s: model(a, s, seed_frames=cfg.seed_frames))
+            motion = np.asarray(fwd_jit(audio, speaker_id)["motion_axis_angle"])[0]
             beat_format_save(out_path, motion, upsample=30 // cfg.pose_fps)
         total_t += motion.shape[0]
         save_list.append({"video_id": meta["video_id"], "motion_path": out_path})

@@ -56,6 +56,7 @@ def visualize_one(save_folder, audio_path, face_only=False):
 
 
 def run(args, model_cls, config_cls, forward):
+    import jax
     import jax.numpy as jnp
 
     from ..data.audio import load_audio
@@ -65,13 +66,16 @@ def run(args, model_cls, config_cls, forward):
     model = load_model(args, model_cls, config_cls)
     cfg = model.config
     files = audio_files_in(args.audio_folder)
+    # jit the whole forward (eager dispatch is ruinously slow on the tunnel TPU);
+    # one compile per distinct audio length
+    fwd = jax.jit(lambda a, s: forward(model, a, s))
     all_t = 0
     t0 = time.time()
     for audio_path in files:
         wave = load_audio(audio_path, cfg.audio_sr)
         audio = jnp.asarray(wave)[None]
         speaker_id = jnp.zeros((1, 1), jnp.int32)
-        motion = np.asarray(forward(model, audio, speaker_id))
+        motion = np.asarray(fwd(audio, speaker_id))
         t = motion.shape[1]
         all_t += t
         base = os.path.splitext(os.path.basename(audio_path))[0]

@@ -63,7 +63,14 @@ def load_models(args):
     raise SystemExit("--model_path <dir> required (or --random_init for a smoke run)")
 
 
-def inference_one(model, vq, audio_path, save_folder):
+def make_decode_jit(vq):
+    """Jitted final decode, built once and reused across clips."""
+    import jax
+
+    return jax.jit(lambda s, rt: vq.decode(**s, get_global_motion=True, ref_trans=rt))
+
+
+def inference_one(model, vq, audio_path, save_folder, decode_jit=None):
     import jax.numpy as jnp
 
     from ..data.audio import load_audio
@@ -76,9 +83,10 @@ def inference_one(model, vq, audio_path, save_folder):
     speaker_id = jnp.zeros((1, 1), jnp.int32)
     trans = jnp.zeros((1, 1, 3))
 
-    latent_dict = model.inference(audio, speaker_id, vq)
+    latent_dict = model.inference(audio, speaker_id, vq)  # jitted internally
     sel = _select_decode_inputs(cfg, latent_dict)
-    all_pred = vq.decode(**sel, get_global_motion=True, ref_trans=trans[:, 0])
+    decode_jit = decode_jit or make_decode_jit(vq)
+    all_pred = decode_jit(sel, trans[:, 0])
 
     motion = np.asarray(all_pred["motion_axis_angle"])
     t = motion.shape[1]
@@ -112,10 +120,11 @@ def main():
     os.makedirs(args.save_folder, exist_ok=True)
     model, vq = load_models(args)
     files = audio_files_in(args.audio_folder)
+    decode_jit = make_decode_jit(vq)
     all_t = 0
     t0 = time.time()
     for audio_path in files:
-        all_t += inference_one(model, vq, audio_path, args.save_folder)
+        all_t += inference_one(model, vq, audio_path, args.save_folder, decode_jit)
         if args.visualization:
             visualize_one(args.save_folder, audio_path)
     print(

@@ -91,13 +91,13 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
 
 def _read_mp3(path: str) -> Tuple[np.ndarray, int]:
     try:
-        from ..native import mp3 as _mp3  # native C++ decoder (optional)
+        from ..native import mp3 as _mp3  # libmpg123 ctypes binding
 
         return _mp3.decode(path)
-    except ImportError as e:
+    except (ImportError, OSError) as e:  # OSError: libmpg123 shared object missing
         raise ValueError(
-            f"{path}: MP3-encoded audio needs the native decoder "
-            "(pantomatrix_tpu/native); build it or provide PCM WAV"
+            f"{path}: MP3-encoded audio needs the system libmpg123 "
+            "(pantomatrix_tpu/native/mp3.py); install it or provide PCM WAV"
         ) from e
 
 

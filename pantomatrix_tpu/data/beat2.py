@@ -38,9 +38,11 @@ class _Cache:
         self._store: Dict[str, object] = {}
 
     def __call__(self, path: str):
-        if path not in self._store:
+        if path in self._store:
+            self._store[path] = self._store.pop(path)  # move to end (recency)
+        else:
             if len(self._store) >= self.capacity:
-                self._store.pop(next(iter(self._store)))
+                self._store.pop(next(iter(self._store)))  # evict least-recent
             self._store[path] = self.load(path)
         return self._store[path]
 

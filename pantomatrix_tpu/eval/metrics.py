@@ -83,10 +83,15 @@ class FGD:
 
     @staticmethod
     def _load_aeskconv(path: str):
-        raise NotImplementedError(
-            "AESKConv weight import requires the emage_evaltools weight file layout; "
-            "provide a custom embedder or use the statistics fallback"
+        """AESKConv import is not implemented yet (the architecture is only fully
+        determined by the weight file, which is network-gated here). Warn and fall
+        back rather than failing the whole eval pipeline."""
+        print(
+            f"FGD: found {path} but the AESKConv importer is not implemented; "
+            "falling back to the statistics embedding (values not comparable to "
+            "the reference's published FGD numbers)"
         )
+        return _StatsEmbedder()
 
     def reset(self) -> None:
         self._pred: List[np.ndarray] = []

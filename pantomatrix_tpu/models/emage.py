@@ -273,9 +273,17 @@ def emage_inference(
     pre = cfg.seed_frames
     rounds = (length - pre) // (window - pre)
     remain = (length - pre) % (window - pre)
+    if rounds <= 0 and remain <= pre:
+        # the reference's loop produces nothing here either (torch.cat of an empty
+        # list); fail with an actionable message instead
+        min_samples = (2 * pre + 1) * (16000 // 30)
+        raise ValueError(
+            f"audio too short for windowed inference: {length} frames; need more than "
+            f"{2 * pre} frames (~{min_samples} samples at 16 kHz)"
+        )
 
     return _inference_jit(params, cfg, suite, audio, speaker_id, masked_motion, mask,
-                          rounds=rounds, remain=remain)
+                          rounds=max(rounds, 0), remain=remain)
 
 
 def init_emage(key: jax.Array, cfg: EmageAudioConfig) -> Params:

@@ -6,7 +6,8 @@ every distinct (batch, length) pair would compile its own whole-sequence program
 (models/emage.py); this engine pads requests onto a fixed grid so a handful of
 compiled programs service any workload:
 
-- batch is padded to ``batch_size`` (replicating the last clip),
+- batch is padded to ``batch_size`` (pad rows replicate the bucket's first clip;
+  their outputs are discarded),
 - audio is padded with silence up to the next length bucket (multiples of
   ``bucket_seconds``), and outputs are trimmed back to each clip's true frame count.
 

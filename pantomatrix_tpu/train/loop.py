@@ -81,6 +81,7 @@ def run_training(
 
     data_time = net_time = 0.0
     pending = []
+    last_saved = -1
     while iteration < loop_cfg.max_train_steps:
         train_loader.set_epoch(epoch)
         for i, batch in enumerate(train_loader):
@@ -116,6 +117,7 @@ def run_training(
             if val_fn is not None and iteration % loop_cfg.validation_steps == 0:
                 metric = float(val_fn(params, iteration))
                 improved = keeper.update(metric, params, opt_state, iteration)
+                last_saved = iteration
                 print(f"val @ {iteration}: metric={metric:.4f}"
                       + (" (new best)" if improved else ""))
 
@@ -123,7 +125,8 @@ def run_training(
                 break
         epoch += 1
 
-    if val_fn is None:
+    if last_saved != iteration:
+        # always persist the final params (inf metric never displaces the best)
         keeper.update(float("inf"), params, opt_state, iteration)
     return params, opt_state, iteration
 

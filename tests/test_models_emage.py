@@ -276,3 +276,12 @@ def test_emage_inference_parity(suite_pair):
     for k in ref:
         assert out[k].shape == tuple(ref[k].shape), (k, out[k].shape, ref[k].shape)
         np.testing.assert_allclose(np.asarray(out[k]), ref[k].numpy(), atol=5e-4, err_msg=k)
+
+
+def test_inference_rejects_too_short_audio(suite_pair):
+    _, suite = suite_pair
+    torch.manual_seed(17)
+    oracle = TorchEmage(ECFG).eval()
+    params = jax.tree_util.tree_map(jnp.asarray, to_pytree(oracle))
+    with pytest.raises(ValueError, match="too short"):
+        emage_inference(params, ECFG, jnp.zeros((1, 533 * 3)), jnp.zeros((1, 1), jnp.int32), suite)
