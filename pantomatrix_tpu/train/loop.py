@@ -19,6 +19,32 @@ import numpy as np
 from .ckpt import BestKeeper, load_train_state
 
 
+def prefetch(iterable, fn, depth: int = 2):
+    """Run ``fn`` (e.g. host decode + device_put) for upcoming items on a background
+    thread so data preparation overlaps device compute (the reference gets this from
+    torch DataLoader workers; train_emage_audio.py:275 num_workers=8)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(fn(item))
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
+
+
 class Meters:
     """Running-mean loss meters (tqdm-desc parity, train_emage_audio.py:504-519)."""
 
@@ -84,13 +110,12 @@ def run_training(
     last_saved = -1
     while iteration < loop_cfg.max_train_steps:
         train_loader.set_epoch(epoch)
-        for i, batch in enumerate(train_loader):
+        for i, batch in enumerate(prefetch(train_loader, place_batch)):
             if skip:
                 if i < skip:
                     continue
                 skip = 0
             t0 = time.time()
-            batch = place_batch(batch)
             data_time += time.time() - t0
             t0 = time.time()
             params, opt_state, losses = step_fn(
