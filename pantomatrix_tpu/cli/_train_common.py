@@ -6,7 +6,7 @@ from __future__ import annotations
 import argparse
 import os
 import random
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

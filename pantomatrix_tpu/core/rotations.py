@@ -11,8 +11,6 @@ small-angle Taylor guards, same sign conventions). Quaternions are (w, x, y, z).
 """
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 

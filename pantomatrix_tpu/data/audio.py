@@ -12,10 +12,8 @@ with an MP3/ID3 signature raise a clear error if it is unavailable.
 """
 from __future__ import annotations
 
-import math
 import os
 import struct
-import wave
 from fractions import Fraction
 from typing import Tuple
 

@@ -16,8 +16,6 @@ TPU-native pipeline design (vs the reference's torch DataLoader workers):
 from __future__ import annotations
 
 import json
-import os
-from functools import lru_cache
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np

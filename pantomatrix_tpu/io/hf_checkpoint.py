@@ -11,11 +11,9 @@ no per-layer mapping tables.
 """
 from __future__ import annotations
 
-import json
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -18,8 +18,7 @@ runs inside the same jit step as the forward, so one device round-trip per windo
 """
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

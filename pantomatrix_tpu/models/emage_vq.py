@@ -31,7 +31,7 @@ from ..core.masking import (
 from ..core.rotations import axis_angle_to_rotation_6d, rotation_6d_to_axis_angle
 from ..nn.blocks import init_vq_decoder, init_vq_encoder, vq_decoder, vq_encoder
 from ..nn.layers import Params
-from ..nn.vq import get_codebook_entry, init_quantizer, map2index, nearest_code, quantize
+from ..nn.vq import get_codebook_entry, init_quantizer, map2index, quantize
 from .configs import EmageVAEConvConfig, EmageVQVAEConvConfig
 
 

@@ -8,7 +8,6 @@ import ctypes
 import hashlib
 import os
 import subprocess
-import sysconfig
 from typing import Optional
 
 _SRC_DIR = os.path.dirname(os.path.abspath(__file__))

@@ -14,7 +14,7 @@ Param trees mirror torch state_dict paths:
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

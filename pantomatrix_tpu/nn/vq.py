@@ -12,7 +12,7 @@ exists in ops for the batched-window serving path).
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,14 +7,12 @@ loss meters, optional wandb.
 """
 from __future__ import annotations
 
-import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .ckpt import BestKeeper, load_train_state
 

@@ -8,7 +8,7 @@ XLA's (psum/pmean over ICI/DCN) — there is no backend code to manage.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np
