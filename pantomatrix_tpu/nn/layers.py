@@ -118,11 +118,14 @@ def batch_norm1d(
     if ctx.train:
         reduce_axes = tuple(range(x.ndim - 1))
         mean = jnp.mean(x, axis=reduce_axes)
-        mean_sq = jnp.mean(jnp.square(x), axis=reduce_axes)
         if ctx.axis_name is not None:
             mean = jax.lax.pmean(mean, ctx.axis_name)
-            mean_sq = jax.lax.pmean(mean_sq, ctx.axis_name)
-        var = mean_sq - jnp.square(mean)
+        # two-pass (x - mean)^2 variance: the E[x^2]-E[x]^2 form loses ~mean^2/var
+        # relative precision in fp32, which is visible after the WavEncoder's
+        # large-activation conv stages
+        var = jnp.mean(jnp.square(x - mean), axis=reduce_axes)
+        if ctx.axis_name is not None:
+            var = jax.lax.pmean(var, ctx.axis_name)
         if ctx.bn_updates is not None:
             n = x.size // x.shape[-1]
             if ctx.axis_name is not None:

@@ -285,3 +285,43 @@ def test_inference_rejects_too_short_audio(suite_pair):
     params = jax.tree_util.tree_map(jnp.asarray, to_pytree(oracle))
     with pytest.raises(ValueError, match="too short"):
         emage_inference(params, ECFG, jnp.zeros((1, 533 * 3)), jnp.zeros((1, 1), jnp.int32), suite)
+
+
+def test_emage_forward_train_mode_parity(suite_pair):
+    """Train-mode parity: BatchNorm normalizes with batch stats (dropout 0)."""
+    from pantomatrix_tpu.nn.layers import Ctx
+
+    torch.manual_seed(19)
+    oracle = TorchEmage(ECFG).train()
+    # zero all dropout (stochastic masks can't match across frameworks); this isolates
+    # the train-mode BatchNorm batch-stat path. Note the reference's transformer/PPE
+    # dropout is the torch default 0.1 == the real config's dropout_prob, so passing
+    # cfg.dropout_prob through (as our forward does) is parity-preserving.
+    import torch.nn as nn
+    for m in oracle.modules():
+        if isinstance(m, nn.Dropout):
+            m.p = 0.0
+    params = jax.tree_util.tree_map(jnp.asarray, to_pytree(oracle))
+    bs, t = 2, ECFG.pose_length
+    audio = _window_audio(t)
+    rng = np.random.RandomState(21)
+    motion = rng.uniform(-1, 1, (bs, t, 337)).astype(np.float32)
+    mask = np.ones((bs, t, 337), np.float32)
+    spk = np.array([[1], [3]])
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(audio), torch.from_numpy(spk),
+                     torch.from_numpy(motion), torch.from_numpy(mask))
+    ctx = Ctx(train=True, rng=jax.random.PRNGKey(0), bn_updates={})
+    out = emage_forward(params, ECFG, jnp.asarray(audio), jnp.asarray(spk),
+                        jnp.asarray(motion), jnp.asarray(mask), ctx=ctx)
+    # Random-weight WavEncoders produce huge activations; six chained train-mode
+    # BatchNorms amplify fp32 batch-stat rounding, so exact fp32 match is
+    # unattainable here (trained weights are far tamer). Semantics are verified
+    # exactly in float64 (max diff ~2e-13 for the full train-mode WavEncoder vs
+    # torch.double); at fp32 require near-perfect correlation + bounded deviation.
+    for k in ref:
+        a, b = np.asarray(out[k]).ravel(), ref[k].numpy().ravel()
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.995, (k, corr)
+        assert np.abs(a - b).max() < 0.3, (k, np.abs(a - b).max())
+    assert ctx.bn_updates  # running-stat updates were collected
