@@ -95,6 +95,11 @@ def run_training(
         params, opt_state, iteration, _ = load_train_state(loop_cfg.resume_from_checkpoint)
         print(f"resumed from {loop_cfg.resume_from_checkpoint} at step {iteration}")
 
+    if len(train_loader) == 0:
+        raise ValueError(
+            "train_loader yields no batches (dataset smaller than the batch size "
+            "with drop_last) — the step loop would never advance"
+        )
     keeper = BestKeeper(loop_cfg.ckpt_dir, model_config)
     rng = jax.random.PRNGKey(loop_cfg.seed)
     meters = Meters()
