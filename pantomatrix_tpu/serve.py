@@ -90,4 +90,50 @@ class EmageGenerator:
         return results  # type: ignore[return-value]
 
 
-__all__ = ["EmageGenerator", "GenerationResult"]
+class SequenceGenerator:
+    """Bucketed batch generation for the LSTM families (CaMN / DisCo): whole-sequence
+    forward, same padding/trimming scheme as EmageGenerator. Returns per-clip
+    (t, 165) axis-angle at the model's pose_fps."""
+
+    def __init__(self, model, batch_size: int = 8, bucket_seconds: float = 8.0):
+        import jax
+
+        self.model = model
+        self.batch_size = batch_size
+        self.bucket_samples = int(bucket_seconds * SR)
+        self._fwd = jax.jit(
+            lambda a, s: model(a, s, seed_frames=model.config.seed_frames)[
+                "motion_axis_angle"
+            ]
+        )
+
+    def _bucket_len(self, n_samples: int) -> int:
+        return max(1, math.ceil(n_samples / self.bucket_samples)) * self.bucket_samples
+
+    def generate(self, waves: Sequence[np.ndarray],
+                 speaker_ids: Optional[Sequence[int]] = None) -> List[np.ndarray]:
+        import jax.numpy as jnp
+
+        fps = self.model.config.pose_fps
+        results: List[Optional[np.ndarray]] = [None] * len(waves)
+        order = sorted(range(len(waves)), key=lambda i: len(waves[i]))
+        for start in range(0, len(order), self.batch_size):
+            idxs = order[start : start + self.batch_size]
+            max_len = self._bucket_len(max(len(waves[i]) for i in idxs))
+            batch = np.zeros((self.batch_size, max_len), np.float32)
+            for row, i in enumerate(idxs):
+                batch[row, : len(waves[i])] = waves[i]
+            for row in range(len(idxs), self.batch_size):
+                batch[row] = batch[0]
+            spk = np.zeros((self.batch_size, 1), np.int64)
+            if speaker_ids is not None:
+                for row, i in enumerate(idxs):
+                    spk[row, 0] = speaker_ids[i]
+            motion = np.asarray(self._fwd(jnp.asarray(batch), jnp.asarray(spk)))
+            for row, i in enumerate(idxs):
+                t = min(len(waves[i]) * fps // SR, motion.shape[1])
+                results[i] = motion[row, :t]
+        return results  # type: ignore[return-value]
+
+
+__all__ = ["EmageGenerator", "GenerationResult", "SequenceGenerator"]

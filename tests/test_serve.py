@@ -98,3 +98,19 @@ def test_sharded_batch_inference_matches_single_device(tiny_stack):
     for k in ref:
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]), atol=2e-5,
                                    err_msg=k)
+
+
+def test_sequence_generator_camn():
+    from pantomatrix_tpu.models.api import CamnAudioModel
+    from pantomatrix_tpu.models.configs import CamnAudioConfig
+    from pantomatrix_tpu.serve import SequenceGenerator
+
+    model = CamnAudioModel(CamnAudioConfig(hidden_size=32, n_layer=1), seed=0)
+    rng = np.random.RandomState(0)
+    waves = [rng.uniform(-0.5, 0.5, n).astype(np.float32) for n in (16000, 30000)]
+    gen = SequenceGenerator(model, batch_size=2, bucket_seconds=1.0)
+    out = gen.generate(waves, speaker_ids=[0, 0])
+    for wave, m in zip(waves, out):
+        assert m.shape[1] == 165
+        assert m.shape[0] <= len(wave) * 15 // 16000
+        assert np.isfinite(m).all()
