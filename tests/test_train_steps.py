@@ -208,3 +208,27 @@ def test_emage_step_gradient_checkpointing_matches():
                                 jax.tree_util.tree_leaves_with_path(p1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
                                    err_msg=jax.tree_util.keystr(k0))
+
+
+def test_camn_training_reduces_loss():
+    """End-to-end optimization sanity: 60 Adam steps on a fixed batch should fit it
+    (geodesic loss drops substantially)."""
+    params = init_camn(jax.random.PRNGKey(10), CAMN_CFG)
+    batch = camn_batch(bs=4, seed=11)
+    mesh = make_mesh(1)
+    opt = make_optimizer(learning_rate=3e-4)
+    step = make_camn_train_step(CAMN_CFG, opt, mesh)
+    opt_state = init_opt_state(opt, params)
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+    batch = shard_batch(batch, mesh)
+    first = None
+    it = lambda i: jnp.asarray(float(i))
+    for i in range(60):
+        params, opt_state, losses = step(params, opt_state, batch,
+                                         jax.random.PRNGKey(i), it(i))
+        if first is None:
+            first = float(losses["loss"])
+    last = float(losses["loss"])
+    assert np.isfinite(last)
+    assert last < 0.5 * first, (first, last)
