@@ -232,3 +232,36 @@ def test_camn_training_reduces_loss():
     last = float(losses["loss"])
     assert np.isfinite(last)
     assert last < 0.5 * first, (first, last)
+
+
+def test_emage_training_reduces_loss():
+    """Flagship trainer optimization sanity: 30 steps on a fixed batch reduce the
+    total 3-pass objective."""
+    rng = np.random.RandomState(12)
+    bs, t = 2, FRAMES
+    batch = {
+        "motion": jnp.asarray(rng.uniform(-0.5, 0.5, (bs, t, 165)).astype(np.float32)),
+        "audio": jnp.asarray(rng.uniform(-1, 1, (bs, t * 533)).astype(np.float32)),
+        "expressions": jnp.asarray(rng.uniform(-1, 1, (bs, t, 100)).astype(np.float32)),
+        "trans": jnp.zeros((bs, t, 3)), "foot_contact": jnp.zeros((bs, t, 4)),
+    }
+    params = init_emage(jax.random.PRNGKey(13), EMAGE_CFG)
+    suite = tiny_suite(jax.random.PRNGKey(14))
+    mesh = make_mesh(1)
+    opt = make_optimizer(learning_rate=1e-3)
+    # corrected schedule so the random mask isn't saturated at 100% from step 0
+    step = make_emage_train_step(EMAGE_CFG, suite, opt, mesh, mask_schedule="corrected")
+    opt_state = init_opt_state(opt, params)
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+    batch = shard_batch(batch, mesh)
+    it = lambda i: jnp.asarray(float(i))
+    first = None
+    for i in range(30):
+        params, opt_state, losses = step(params, opt_state, batch,
+                                         jax.random.PRNGKey(0), it(i))
+        if first is None:
+            first = float(losses["all"])
+    last = float(losses["all"])
+    assert np.isfinite(last)
+    assert last < 0.8 * first, (first, last)
