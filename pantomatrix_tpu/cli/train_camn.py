@@ -23,11 +23,17 @@ def main():
     from ..models.camn import camn_forward, init_camn
     from ..models.configs import CamnAudioConfig
     from ..train.loop import TrainLoopConfig, run_training
-    from ..train.mesh import make_data_mesh, replicate, shard_batch
+    from ..train.mesh import (
+        make_data_mesh,
+        maybe_init_distributed,
+        replicate,
+        shard_batch,
+    )
     from ..train.optim import make_optimizer
     from ..train.steps import init_opt_state, make_camn_train_step
     from ._train_common import init_env, seed_everything, windowed_fgd_val
 
+    pidx, pcount = maybe_init_distributed()
     cfg = init_env(os.path.join(os.path.dirname(__file__), "..", "configs", "camn_audio.yaml"))
     seed_everything(cfg.seed)
 
@@ -52,7 +58,8 @@ def main():
 
     train_ds = BEAT2Dataset(cfg.data.meta_paths, "train", model_cfg.pose_fps,
                             model_cfg.audio_sr, model_cfg.joint_mask)
-    train_loader = DataLoader(train_ds, cfg.data.train_bs, seed=cfg.seed)
+    train_loader = DataLoader(train_ds, cfg.data.train_bs, seed=cfg.seed,
+                              process_index=pidx, process_count=pcount)
     val_ds = BEAT2Dataset(cfg.data.test_meta_paths, "val", model_cfg.pose_fps,
                           model_cfg.audio_sr, model_cfg.joint_mask)
     val_loader = DataLoader(val_ds, min(cfg.data.train_bs, max(len(val_ds), 1)),
@@ -86,7 +93,7 @@ def main():
     run_training(
         loop_cfg, step_fn, params, opt_state, train_loader,
         place_batch=lambda b: shard_batch(b, mesh),
-        val_fn=val_fn, model_config=model_cfg,
+        val_fn=val_fn, model_config=model_cfg, is_main_process=(pidx == 0),
     )
 
 

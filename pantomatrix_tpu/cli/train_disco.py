@@ -12,15 +12,22 @@ import numpy as np
 
 
 class _WeightedLoader:
-    """Epoch-reshuffled class-balanced batches (train_disco_audio.py:78-91)."""
+    """Epoch-reshuffled class-balanced batches (train_disco_audio.py:78-91).
 
-    def __init__(self, dataset, batch_size: int, seed: int = 42):
+    Multi-process: each process takes a strided slice of the SAME per-epoch sampled
+    index stream (seeded by epoch), so shards are disjoint and deterministic.
+    """
+
+    def __init__(self, dataset, batch_size: int, seed: int = 42,
+                 process_index: int = 0, process_count: int = 1):
         from ..data.beat2 import collate
 
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
         self.epoch = 0
+        self.process_index = process_index
+        self.process_count = process_count
         self.labels = np.asarray([m["content_label"] for m in dataset.data_list])
         self._collate = collate
 
@@ -28,12 +35,13 @@ class _WeightedLoader:
         self.epoch = epoch
 
     def __len__(self) -> int:
-        return len(self.dataset) // self.batch_size
+        return len(self.dataset) // self.process_count // self.batch_size
 
     def __iter__(self):
         from ..data.beat2 import weighted_indices
 
         idx = weighted_indices(self.labels, len(self.dataset), self.seed + self.epoch)
+        idx = idx[self.process_index :: self.process_count]
         for b in range(len(self)):
             chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
             yield self._collate([self.dataset[int(i)] for i in chunk])
@@ -49,11 +57,17 @@ def main():
     from ..models.configs import DiscoAudioConfig
     from ..models.disco import disco_forward, init_disco
     from ..train.loop import TrainLoopConfig, run_training
-    from ..train.mesh import make_data_mesh, replicate, shard_batch
+    from ..train.mesh import (
+        make_data_mesh,
+        maybe_init_distributed,
+        replicate,
+        shard_batch,
+    )
     from ..train.optim import make_optimizer
     from ..train.steps import init_opt_state, make_disco_train_step
     from ._train_common import init_env, seed_everything, windowed_fgd_val
 
+    pidx, pcount = maybe_init_distributed()
     cfg = init_env(os.path.join(os.path.dirname(__file__), "..", "configs", "disco_audio.yaml"))
     seed_everything(cfg.seed)
 
@@ -78,7 +92,8 @@ def main():
 
     train_ds = BEAT2Dataset(cfg.data.meta_paths, "train", model_cfg.pose_fps,
                             model_cfg.audio_sr, model_cfg.joint_mask, variant="disco")
-    train_loader = _WeightedLoader(train_ds, cfg.data.train_bs, seed=cfg.seed)
+    train_loader = _WeightedLoader(train_ds, cfg.data.train_bs, seed=cfg.seed,
+                                   process_index=pidx, process_count=pcount)
     val_ds = BEAT2Dataset(cfg.data.test_meta_paths, "val", model_cfg.pose_fps,
                           model_cfg.audio_sr, model_cfg.joint_mask)
     val_loader = DataLoader(val_ds, min(cfg.data.train_bs, max(len(val_ds), 1)),
@@ -112,7 +127,7 @@ def main():
     run_training(
         loop_cfg, step_fn, params, opt_state, train_loader,
         place_batch=lambda b: shard_batch(b, mesh),
-        val_fn=val_fn, model_config=model_cfg,
+        val_fn=val_fn, model_config=model_cfg, is_main_process=(pidx == 0),
     )
 
 

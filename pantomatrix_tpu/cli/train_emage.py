@@ -46,11 +46,17 @@ def main():
     from ..models.emage import emage_forward, init_emage, _select_decode_inputs
     from ..models.emage_vq import vq_decode
     from ..train.loop import TrainLoopConfig, run_training
-    from ..train.mesh import make_data_mesh, replicate, shard_batch
+    from ..train.mesh import (
+        make_data_mesh,
+        maybe_init_distributed,
+        replicate,
+        shard_batch,
+    )
     from ..train.optim import make_optimizer
     from ..train.steps import init_opt_state, make_emage_train_step
     from ._train_common import init_env, seed_everything, windowed_fgd_val
 
+    pidx, pcount = maybe_init_distributed()
     vq_parser = argparse.ArgumentParser(add_help=False)
     vq_parser.add_argument("--vq_path", type=str, default=None)
     vq_parser.add_argument("--random_vq", action="store_true")
@@ -86,7 +92,8 @@ def main():
 
     train_ds = BEAT2Dataset(cfg.data.meta_paths, "train", model_cfg.pose_fps,
                             model_cfg.audio_sr, None, variant="emage_footcontact")
-    train_loader = DataLoader(train_ds, cfg.data.train_bs, seed=cfg.seed)
+    train_loader = DataLoader(train_ds, cfg.data.train_bs, seed=cfg.seed,
+                              process_index=pidx, process_count=pcount)
     val_ds = BEAT2Dataset(cfg.data.test_meta_paths, "val", model_cfg.pose_fps,
                           model_cfg.audio_sr, None, variant="emage_footcontact")
     val_loader = DataLoader(val_ds, min(cfg.data.train_bs, max(len(val_ds), 1)),
@@ -122,7 +129,7 @@ def main():
     run_training(
         loop_cfg, step_fn, params, opt_state, train_loader,
         place_batch=lambda b: shard_batch(b, mesh),
-        val_fn=val_fn, model_config=model_cfg,
+        val_fn=val_fn, model_config=model_cfg, is_main_process=(pidx == 0),
     )
 
 

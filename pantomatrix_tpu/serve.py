@@ -52,8 +52,15 @@ class EmageGenerator:
         return max(1, math.ceil(n_samples / self.bucket_samples)) * self.bucket_samples
 
     def generate(self, waves: Sequence[np.ndarray],
-                 speaker_ids: Optional[Sequence[int]] = None) -> List[GenerationResult]:
-        """waves: list of float32 16 kHz mono arrays (any lengths)."""
+                 speaker_ids: Optional[Sequence[int]] = None,
+                 ref_trans: Optional[Sequence[np.ndarray]] = None) -> List[GenerationResult]:
+        """waves: list of float32 16 kHz mono arrays (any lengths).
+
+        ref_trans: optional per-clip (3,) starting translation, threaded into the
+        global-motion integration exactly like the reference CLI's
+        ``ref_trans=trans[:, 0]`` (test_emage_audio.py:29,47); defaults to zeros —
+        the reference's own default (test_emage_audio.py:29).
+        """
         import jax.numpy as jnp
 
         from .models.emage import _select_decode_inputs
@@ -72,11 +79,15 @@ class EmageGenerator:
             if speaker_ids is not None:
                 for row, i in enumerate(idxs):
                     spk[row, 0] = speaker_ids[i]
+            rt = np.zeros((self.batch_size, 1, 3), np.float32)
+            if ref_trans is not None:
+                for row, i in enumerate(idxs):
+                    rt[row, 0] = np.asarray(ref_trans[i], np.float32)
 
             latent = self.model.inference(jnp.asarray(batch), jnp.asarray(spk), self.vq)
             sel = _select_decode_inputs(self.model.config, latent)
             decoded = self.vq.decode(**sel, get_global_motion=True,
-                                     ref_trans=jnp.zeros((self.batch_size, 1, 3)))
+                                     ref_trans=jnp.asarray(rt))
             motion = np.asarray(decoded["motion_axis_angle"])
             expr = np.asarray(decoded["expression"])
             trans = np.asarray(decoded["trans"])

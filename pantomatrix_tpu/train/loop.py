@@ -84,11 +84,14 @@ def run_training(
     val_fn: Optional[Callable] = None,
     model_config=None,
     log_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    is_main_process: bool = True,
 ):
     """Run ``step_fn(params, opt_state, batch, rng, iteration)`` to max_train_steps.
 
     val_fn(params, iteration) -> metric (lower better), called every
-    validation_steps; best/last checkpoints kept in loop_cfg.ckpt_dir.
+    validation_steps (on EVERY process — it may contain collectives); best/last
+    checkpoints are written by the main process only (rank-0 parity,
+    train_emage_audio.py:320,337).
     """
     iteration = 0
     if loop_cfg.resume_from_checkpoint:
@@ -113,13 +116,21 @@ def run_training(
     last_saved = -1
     while iteration < loop_cfg.max_train_steps:
         train_loader.set_epoch(epoch)
-        for i, batch in enumerate(prefetch(train_loader, place_batch)):
+        batches = iter(prefetch(train_loader, place_batch))
+        i = -1
+        while True:
+            # data time = how long the step loop actually blocks on the prefetch
+            # queue (the reference's data_time, train_emage_audio.py:504-519)
+            t0 = time.time()
+            batch = next(batches, None)
+            if batch is None:
+                break
+            data_time += time.time() - t0
+            i += 1
             if skip:
                 if i < skip:
                     continue
                 skip = 0
-            t0 = time.time()
-            data_time += time.time() - t0
             t0 = time.time()
             params, opt_state, losses = step_fn(
                 params, opt_state, batch, jax.random.fold_in(rng, iteration),
@@ -136,24 +147,27 @@ def run_training(
                     meters.update({k: float(v) for k, v in l.items()})
                 pending.clear()
                 means = meters.means()
-                msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items()))
-                print(f"step {iteration}: {msg} (data {data_time:.1f}s net {net_time:.1f}s)")
-                if log_fn:
-                    log_fn(iteration, means)
+                if is_main_process:
+                    msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items()))
+                    print(f"step {iteration}: {msg} "
+                          f"(data {data_time:.1f}s net {net_time:.1f}s)")
+                    if log_fn:
+                        log_fn(iteration, means)
                 meters.reset()
 
             if val_fn is not None and iteration % loop_cfg.validation_steps == 0:
                 metric = float(val_fn(params, iteration))
-                improved = keeper.update(metric, params, opt_state, iteration)
-                last_saved = iteration
-                print(f"val @ {iteration}: metric={metric:.4f}"
-                      + (" (new best)" if improved else ""))
+                if is_main_process:
+                    improved = keeper.update(metric, params, opt_state, iteration)
+                    last_saved = iteration
+                    print(f"val @ {iteration}: metric={metric:.4f}"
+                          + (" (new best)" if improved else ""))
 
             if iteration >= loop_cfg.max_train_steps:
                 break
         epoch += 1
 
-    if last_saved != iteration:
+    if is_main_process and last_saved != iteration:
         # always persist the final params (inf metric never displaces the best)
         keeper.update(float("inf"), params, opt_state, iteration)
     return params, opt_state, iteration

@@ -8,11 +8,40 @@ XLA's (psum/pmean over ICI/DCN) — there is no backend code to manage.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+import os
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_init_distributed() -> Tuple[int, int]:
+    """Multi-process JAX init — the ``torchrun --nnodes M`` analogue
+    (/root/reference/README.md:329; NCCL init at train_emage_audio.py:214).
+
+    Launch modes (checked in order):
+    - explicit: PANTO_COORDINATOR=<host:port> PANTO_NUM_PROCESSES=<M>
+      PANTO_PROCESS_ID=<rank> — works on any backend (CPU simulation included);
+    - auto: PANTO_DISTRIBUTED=1 — TPU pods, where jax.distributed.initialize()
+      discovers coordinator/rank from the TPU environment;
+    - single-process otherwise (no-op).
+
+    Returns (process_index, process_count). Call BEFORE any other jax use; train
+    CLIs feed the result into DataLoader(process_index=..., process_count=...) so
+    each process consumes a disjoint shard of every epoch.
+    """
+    coord = os.environ.get("PANTO_COORDINATOR")
+    nproc = os.environ.get("PANTO_NUM_PROCESSES")
+    if coord and nproc:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(os.environ["PANTO_PROCESS_ID"]),
+        )
+    elif os.environ.get("PANTO_DISTRIBUTED"):
+        jax.distributed.initialize()
+    return jax.process_index(), jax.process_count()
 
 
 def make_mesh(
@@ -28,9 +57,18 @@ def make_mesh(
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if n_devices > len(devices):
+        raise ValueError(f"asked for {n_devices} devices, only {len(devices)} visible")
     devices = devices[:n_devices]
     if axis_sizes is None:
         axis_sizes = [n_devices] + [1] * (len(axis_names) - 1)
+    total = int(np.prod(axis_sizes))
+    if total != n_devices:
+        raise ValueError(
+            f"axis_sizes {tuple(axis_sizes)} (product {total}) must multiply out to "
+            f"the device count {n_devices} — e.g. 8 devices support (4, 2) or (2, 4), "
+            f"not (3, 2)"
+        )
     grid = np.asarray(devices).reshape(tuple(axis_sizes))
     return Mesh(grid, tuple(axis_names))
 
@@ -63,4 +101,5 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, replicated(mesh)), tree)
 
 
-__all__ = ["data_sharding", "make_data_mesh", "make_mesh", "replicate", "replicated", "shard_batch"]
+__all__ = ["data_sharding", "make_data_mesh", "make_mesh", "maybe_init_distributed",
+           "replicate", "replicated", "shard_batch"]

@@ -145,6 +145,19 @@ def test_dataloader_sharding_covers_epoch(beat2_root):
             seen.append(batch["motion"].shape[0])
     assert sum(seen) == len(ds)  # 4 items, 2 ranks x 1 batch of 2 each
 
+    # two simulated processes partition every epoch EXACTLY: disjoint index shards
+    # whose union is the full epoch (DistributedSampler parity,
+    # train_emage_audio.py:275-278)
+    for epoch in range(3):
+        shards = []
+        for rank in range(2):
+            dl = DataLoader(ds, batch_size=2, shuffle=True, seed=7,
+                            process_index=rank, process_count=2)
+            dl.set_epoch(epoch)
+            shards.append(dl._indices())
+        assert set(shards[0]).isdisjoint(shards[1])
+        assert sorted(np.concatenate(shards).tolist()) == list(range(len(ds)))
+
     # different epochs shuffle differently, same epoch is deterministic
     dl = DataLoader(ds, batch_size=2, seed=7)
     dl.set_epoch(0)
