@@ -6,6 +6,13 @@ save BEAT npz, then compute FGD (+BC/L1div/LVD/MSE when the SMPL-X model is avai
 Usage:
   python -m pantomatrix_tpu.cli.evaluate --family camn --model_path <ckpt> \
       --meta datasets/data_json/...json --save_folder ./outputs/test
+
+No clip index yet? Point at a bare BEAT2 layout (train_test_split.csv +
+smplxflame_30/ + wave16k/) and one is built on the fly
+(datasets/process_testdata.py parity, :9-55):
+
+  python -m pantomatrix_tpu.cli.evaluate --family camn --model_path <ckpt> \
+      --beat2_root <BEAT2 dir> --save_folder ./outputs/test
 """
 from __future__ import annotations
 
@@ -43,13 +50,30 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--family", choices=["camn", "disco", "emage"], required=True)
     p.add_argument("--model_path", type=str, required=True)
-    p.add_argument("--meta", type=str, nargs="+", required=True)
+    p.add_argument("--meta", type=str, nargs="+", default=None,
+                   help="clip-index JSON(s); omit with --beat2_root")
+    p.add_argument("--beat2_root", type=str, default=None,
+                   help="bare BEAT2 layout; builds the clip index locally")
+    p.add_argument("--clip_length", type=int, default=64)
+    p.add_argument("--clip_stride", type=int, default=20)
+    p.add_argument("--speaker", type=int, default=2)
     p.add_argument("--save_folder", type=str, required=True)
     p.add_argument("--vq_path", type=str, default=None, help="emage only")
     args = p.parse_args()
 
     os.makedirs(args.save_folder, exist_ok=True)
-    test_list = unique_test_clips(args.meta)
+    metas = args.meta
+    if metas is None:
+        if args.beat2_root is None:
+            p.error("either --meta or --beat2_root is required")
+        from ..data.preprocess import build_clip_index
+
+        metas = [build_clip_index(args.beat2_root, args.save_folder,
+                                  stride=args.clip_stride,
+                                  motion_length=args.clip_length,
+                                  speaker_target=args.speaker)]
+        print(f"built clip index: {metas[0]}")
+    test_list = unique_test_clips(metas)
     model = AutoModel.from_pretrained(args.model_path)
     cfg = model.config
 

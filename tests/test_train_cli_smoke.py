@@ -129,6 +129,40 @@ def test_evaluate_cli_camn(tmp_path, mini_beat2):
     assert len(outs) == 2  # unique test videos
 
 
+def test_evaluate_cli_from_bare_beat2_layout(tmp_path, mini_beat2):
+    """--beat2_root flow: no prebuilt clip index — evaluate builds one on the fly
+    from a bare BEAT2 layout (train_test_split.csv + smplxflame_30/ + wave16k/),
+    the reference's datasets/process_testdata.py step."""
+    import json as _json
+
+    from pantomatrix_tpu.cli.evaluate import main
+    from pantomatrix_tpu.models.api import CamnAudioModel
+    from pantomatrix_tpu.models.configs import CamnAudioConfig
+
+    root = os.path.dirname(mini_beat2)
+    with open(os.path.join(root, "train_test_split.csv"), "w") as f:
+        f.write("id,type\n2_a_0_1_1,test\n2_a_0_2_2,test\n")
+
+    ckpt = str(tmp_path / "camn_ckpt")
+    CamnAudioModel(CamnAudioConfig(hidden_size=32, n_layer=1), seed=0).save_pretrained(ckpt)
+
+    save = str(tmp_path / "bare_out")
+    old = sys.argv
+    sys.argv = ["prog", "--family", "camn", "--model_path", ckpt,
+                "--beat2_root", root, "--clip_length", "32",
+                "--save_folder", save]
+    try:
+        main()
+    finally:
+        sys.argv = old
+    m = _json.load(open(os.path.join(save, "metrics.json")))
+    assert "fgd" in m
+    built = [f for f in os.listdir(save) if f.startswith("beat2_s") and f.endswith(".json")]
+    assert built, "clip index not built"
+    clips = _json.load(open(os.path.join(save, built[0])))
+    assert all(c["mode"] == "test" for c in clips)
+
+
 def test_emage_cli_on_reference_example(tmp_path):
     """Full flagship CLI path on the actual reference example audio (MP3 decode ->
     windowed AR inference -> VQ decode -> BEAT npz with expressions+trans)."""
