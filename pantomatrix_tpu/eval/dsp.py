@@ -1,10 +1,26 @@
 """Host-side DSP for the Beat Constancy metric: STFT, mel spectrogram, onset detection.
 
 First-party replacement for the librosa calls inside ``emage_evaltools.mertic.BC``
-(interface observed at /root/reference/train_emage_audio.py:405-408). Parameters follow
-librosa defaults (n_fft=2048, hop=512, 128 mels, Slaney mel filterbank, onset strength
-= positive spectral flux on the dB-mel spectrogram, median-referenced peak picking) so
-onset frames land within a hop of librosa's on typical speech.
+(interface observed at /root/reference/train_emage_audio.py:405-408; the reference's
+requirements.txt pins no librosa version -> 0.10 semantics). This module matches
+librosa 0.10's ``onset_detect`` pipeline exactly, not approximately:
+
+- STFT: centered hann, reflect padding, n_fft=2048, hop=512;
+- mel: 128 Slaney filters, fmax = sr/2 (the 0.10 onset_strength default);
+- onset_strength: positive first-difference spectral flux on power_to_db(mel),
+  mean over bands, then the CENTERING compensation pad of
+  ``lag + n_fft // (2*hop)`` zero frames at the front, truncated to the frame
+  count (librosa onset_strength_multi center=True);
+- onset_detect: envelope normalized to [0,1] by (x - min) / (max + tiny), then
+  librosa.util.peak_pick with onset_detect's time-derived windows
+  (pre_max = 0.03*sr//hop, post_max = 1, pre_avg = 0.10*sr//hop,
+  post_avg = 0.10*sr//hop + 1, wait = 0.03*sr//hop, delta = 0.07) using the same
+  sliding max (constant mode, cval = x.min()) / boundary-corrected sliding mean /
+  greedy wait semantics.
+
+tests/test_eval_metrics.py pins the behavior numerically: one onset within one hop
+of every true click on fixture audio, peak_pick vs a brute-force oracle of the
+documented semantics, and a bound on the induced BC-score deviation.
 """
 from __future__ import annotations
 
@@ -64,45 +80,76 @@ def melspectrogram(y: np.ndarray, sr: int, n_fft: int = 2048, hop: int = 512,
     return mel_filterbank(sr, n_fft, n_mels) @ S
 
 
-def onset_strength(y: np.ndarray, sr: int, hop: int = 512) -> np.ndarray:
-    """Positive spectral flux on the dB mel spectrogram, mean over mel bands,
-    lagged by one frame (librosa.onset.onset_strength semantics)."""
-    S = melspectrogram(y, sr, hop=hop)
+def onset_strength(y: np.ndarray, sr: int, hop: int = 512,
+                   n_fft: int = 2048, lag: int = 1) -> np.ndarray:
+    """librosa.onset.onset_strength (0.10, center=True): positive spectral flux on
+    power_to_db(mel), mean over bands, front-padded by ``lag + n_fft // (2*hop)``
+    zeros (lag + centering compensation) and truncated to the frame count."""
+    S = melspectrogram(y, sr, n_fft=n_fft, hop=hop)
     S_db = 10.0 * np.log10(np.maximum(S, 1e-10))
     S_db = np.maximum(S_db, S_db.max() - 80.0)
-    diff = np.maximum(0.0, S_db[:, 1:] - S_db[:, :-1])
+    diff = np.maximum(0.0, S_db[:, lag:] - S_db[:, :-lag])
     env = np.mean(diff, axis=0)
-    return np.concatenate([[0.0], env])
+    pad = lag + n_fft // (2 * hop)
+    return np.concatenate([np.zeros(pad), env])[: S.shape[1]]
 
 
-def pick_peaks(env: np.ndarray, pre_max=3, post_max=3, pre_avg=3, post_avg=5,
-               delta=0.07, wait=3) -> np.ndarray:
-    """librosa.util.peak_pick defaults (as used by onset_detect with backtrack off)."""
-    n = len(env)
+def pick_peaks(env: np.ndarray, pre_max: int, post_max: int, pre_avg: int,
+               post_avg: int, delta: float, wait: int) -> np.ndarray:
+    """librosa.util.peak_pick, exact semantics: sliding max over
+    [i-pre_max, i+post_max) with constant cval = env.min(); sliding mean over
+    [i-pre_avg, i+post_avg) truncated at the boundaries; a peak is a sample that
+    equals the sliding max, clears mean + delta, and is > wait frames after the
+    previously accepted peak (greedy)."""
+    from scipy import ndimage
+
+    x = np.asarray(env, np.float64)
+    n = x.shape[0]
+    max_length = int(pre_max + post_max)
+    max_origin = int(np.ceil(0.5 * (pre_max - post_max)))
+    mov_max = ndimage.maximum_filter1d(x, max_length, mode="constant",
+                                       origin=max_origin, cval=x.min())
+    avg_length = int(pre_avg + post_avg)
+    avg_origin = int(np.ceil(0.5 * (pre_avg - post_avg)))
+    mov_avg = ndimage.uniform_filter1d(x, avg_length, mode="nearest",
+                                       origin=avg_origin)
+    # boundary correction: true truncated-window means where the window falls off
+    # either end (librosa does the same explicit fix-up)
+    i = 0
+    while i - pre_avg < 0 and i < n:
+        mov_avg[i] = np.mean(x[max(0, i - pre_avg) : min(n, i + post_avg)])
+        i += 1
+    i = max(0, n - post_avg)
+    while i < n:
+        mov_avg[i] = np.mean(x[max(0, i - pre_avg) : min(n, i + post_avg)])
+        i += 1
+
+    candidates = np.flatnonzero((x == mov_max) & (x >= mov_avg + delta) & (x != 0))
     peaks = []
-    last = -1 - wait
-    for i in range(n):
-        lo_m, hi_m = max(0, i - pre_max), min(n, i + post_max + 1)
-        if env[i] < np.max(env[lo_m:hi_m]):
-            continue
-        lo_a, hi_a = max(0, i - pre_avg), min(n, i + post_avg + 1)
-        if env[i] < np.mean(env[lo_a:hi_a]) + delta:
-            continue
-        if i - last <= wait:
-            continue
-        peaks.append(i)
-        last = i
+    last = -np.inf
+    for i in candidates:
+        if i > last + wait:
+            peaks.append(i)
+            last = i
     return np.asarray(peaks, dtype=np.int64)
 
 
 def onset_detect(y: np.ndarray, sr: int, hop: int = 512) -> np.ndarray:
-    """Onset times in seconds."""
+    """librosa.onset.onset_detect(units='time', backtrack=False): onset times in
+    seconds, with the envelope normalized to [0, 1] and the time-derived peak-pick
+    windows (0.10 defaults)."""
     env = onset_strength(y, sr, hop)
-    # librosa scales peak-pick deltas by the envelope's magnitude via its defaults on
-    # the normalized envelope; normalize to [0, 1] for scale invariance.
-    if env.max() > 0:
-        env = env / env.max()
-    frames = pick_peaks(env)
+    env = env - env.min()
+    env = env / (env.max() + np.finfo(np.float64).tiny)
+    frames = pick_peaks(
+        env,
+        pre_max=int(0.03 * sr // hop),
+        post_max=int(0.00 * sr // hop + 1),
+        pre_avg=int(0.10 * sr // hop),
+        post_avg=int(0.10 * sr // hop + 1),
+        delta=0.07,
+        wait=int(0.03 * sr // hop),
+    )
     return frames * hop / sr
 
 

@@ -41,9 +41,86 @@ def test_onset_detect_finds_clicks():
         i = int(ct * sr)
         y[i : i + 200] += np.sin(2 * np.pi * 1000 * np.arange(200) / sr) * np.hanning(200)
     onsets = onset_detect(y, sr)
-    assert len(onsets) == len(click_times)
+    # at sr=16000 librosa's own onset_detect windows degenerate to pre_max=0 /
+    # wait=0 (0.03*sr//hop == 0), so a click spread over two STFT frames yields two
+    # adjacent onsets — faithful behavior; BC only uses nearest-onset distance
     for ct in click_times:
         assert np.min(np.abs(onsets - ct)) < 0.05
+    for o in onsets:
+        assert np.min(np.abs(o - np.asarray(click_times))) < 0.07  # none spurious
+
+
+def _peak_pick_oracle(x, pre_max, post_max, pre_avg, post_avg, delta, wait):
+    """Brute-force restatement of librosa.util.peak_pick's documented semantics:
+    a peak equals the max over [i-pre_max, i+post_max), clears the truncated mean
+    over [i-pre_avg, i+post_avg) by delta, and follows the previous accepted peak
+    by more than ``wait`` frames."""
+    n = len(x)
+    peaks, last = [], -np.inf
+    for i in range(n):
+        w_max = x[max(0, i - pre_max) : min(n, i + post_max)]
+        w_avg = x[max(0, i - pre_avg) : min(n, i + post_avg)]
+        if x[i] == w_max.max() and x[i] >= w_avg.mean() + delta and x[i] != 0:
+            if i > last + wait:
+                peaks.append(i)
+                last = i
+    return np.asarray(peaks, np.int64)
+
+
+def test_pick_peaks_matches_bruteforce_oracle():
+    """The scipy-filter implementation == the documented window semantics, including
+    boundary truncation — pins the librosa peak_pick parity numerically (VERDICT r1,
+    weak #4)."""
+    from pantomatrix_tpu.eval.dsp import pick_peaks
+
+    rng = np.random.RandomState(4)
+    # the exact parameter set onset_detect derives at sr=16000, hop=512, plus others
+    param_sets = [
+        dict(pre_max=0, post_max=1, pre_avg=3, post_avg=4, delta=0.07, wait=0),
+        dict(pre_max=3, post_max=3, pre_avg=3, post_avg=5, delta=0.05, wait=2),
+        dict(pre_max=1, post_max=2, pre_avg=5, post_avg=3, delta=0.1, wait=5),
+    ]
+    for params in param_sets:
+        for trial in range(5):
+            env = np.abs(rng.normal(0, 1, 200))
+            env[rng.randint(0, 200, 10)] += 3.0
+            env -= env.min()
+            env /= env.max()
+            got = pick_peaks(env, **params)
+            want = _peak_pick_oracle(env, **params)
+            np.testing.assert_array_equal(got, want, err_msg=str(params))
+
+
+def test_onset_deviation_and_bc_effect_bounded():
+    """Quantified bound (VERDICT r1, weak #4): on a click-train fixture, every true
+    click is matched by a detected onset within 1.5 hops (48 ms — hop-grid
+    quantization + the one-frame flux lag), every detected onset lies within 2.5
+    hops of a true click (no spurious detections), and the BC score computed from
+    detected onsets deviates from the true-click BC score by < 0.01."""
+    sr, hop = 16000, 512
+    rng = np.random.RandomState(5)
+    dur = 8.0
+    y = (rng.normal(0, 0.005, int(sr * dur))).astype(np.float32)  # noise floor
+    click_times = np.arange(0.5, dur - 0.5, 0.61)  # off-grid spacing
+    for ct in click_times:
+        i = int(ct * sr)
+        burst = rng.normal(0, 1, 160) * np.hanning(160)
+        y[i : i + 160] += burst.astype(np.float32)
+
+    onsets = onset_detect(y, sr)
+    dev_per_click = np.abs(onsets[None, :] - click_times[:, None]).min(1)
+    assert dev_per_click.max() < 1.5 * hop / sr + 1e-9, (
+        f"onset deviation {dev_per_click.max():.4f}s > 1.5 hops"
+    )
+    dev_per_onset = np.abs(onsets[:, None] - click_times[None, :]).min(1)
+    assert dev_per_onset.max() < 2.5 * hop / sr + 1e-9, "spurious onset"
+
+    # effect on BC (sigma=0.3 protocol): motion beats near (not on) the clicks
+    bc = BC(sigma=0.3, order=7)
+    motion_beat = click_times + rng.uniform(-0.2, 0.2, len(click_times))
+    s_detected = bc.compute(onsets, motion_beat, 0)
+    s_true = bc.compute(click_times, motion_beat, 0)
+    assert abs(s_detected - s_true) < 0.01
 
 
 def test_bc_alignment_scores():
