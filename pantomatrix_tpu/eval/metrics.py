@@ -42,10 +42,14 @@ def frechet_distance(feat_a: np.ndarray, feat_b: np.ndarray, eps: float = 1e-6) 
     try:
         from scipy import linalg
 
-        covmean, _ = linalg.sqrtm(s1 @ s2, disp=False)
+        def _sqrtm(m):
+            out = linalg.sqrtm(m)
+            return out[0] if isinstance(out, tuple) else out
+
+        covmean = _sqrtm(s1 @ s2)
         if not np.isfinite(covmean).all():
             offset = np.eye(s1.shape[0]) * eps
-            covmean, _ = linalg.sqrtm((s1 + offset) @ (s2 + offset), disp=False)
+            covmean = _sqrtm((s1 + offset) @ (s2 + offset))
         if np.iscomplexobj(covmean):
             covmean = covmean.real
         tr_covmean = np.trace(covmean)
@@ -83,15 +87,20 @@ class FGD:
 
     @staticmethod
     def _load_aeskconv(path: str):
-        """AESKConv import is not implemented yet (the architecture is only fully
-        determined by the weight file, which is network-gated here). Warn and fall
-        back rather than failing the whole eval pipeline."""
-        print(
-            f"FGD: found {path} but the AESKConv importer is not implemented; "
-            "falling back to the statistics embedding (values not comparable to "
-            "the reference's published FGD numbers)"
-        )
-        return _StatsEmbedder()
+        """Import the pretrained skeleton-autoencoder feature net (README.md:92;
+        architecture reconstructed in eval/fgd_encoder.py). Falls back to the
+        statistics embedding only when the file is unreadable/mismatched."""
+        try:
+            from .fgd_encoder import load_aeskconv
+
+            return load_aeskconv(path)
+        except Exception as e:
+            print(
+                f"FGD: failed to import AESKConv weights from {path} ({e}); "
+                "falling back to the statistics embedding (values not comparable "
+                "to the reference's published FGD numbers)"
+            )
+            return _StatsEmbedder()
 
     def reset(self) -> None:
         self._pred: List[np.ndarray] = []

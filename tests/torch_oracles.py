@@ -476,3 +476,84 @@ class TorchEmage(nn.Module):
             "cls_face": cls_face, "cls_upper": self.motion_cls_upper(up),
             "cls_hands": self.motion_cls_hands(ha), "cls_lower": self.motion_cls_lower(lo),
         }
+
+
+# ---------------------------------------------------------------------------
+# AESKConv (FGD feature extractor) oracle: skeleton-aware conv encoder, the BEAT
+# codebase's VAESKConv.encoder (LocalEncoder of SkeletonConv/SkeletonPool per
+# Aberman et al. 2020), reconstructed to the AESKConv_240_100 layout
+# ---------------------------------------------------------------------------
+
+class TorchSkeletonConv(nn.Module):
+    """Masked conv1d: output channels of part p see only input channels of parts
+    within skeleton distance d (the mask), zero ('constant') padding, stride 2."""
+
+    def __init__(self, neighbour_list, in_channels, out_channels, kernel_size,
+                 joint_num, stride, padding):
+        super().__init__()
+        self.in_per = in_channels // joint_num
+        self.out_per = out_channels // joint_num
+        self.stride, self.padding = stride, padding
+        self.weight = nn.Parameter(torch.zeros(out_channels, in_channels, kernel_size))
+        self.bias = nn.Parameter(torch.zeros(out_channels))
+        mask = torch.zeros_like(self.weight)
+        expanded = []
+        for nb in neighbour_list:
+            expanded.append([k * self.in_per + i for k in nb for i in range(self.in_per)])
+        for p, cols in enumerate(expanded):
+            mask[self.out_per * p : self.out_per * (p + 1), cols, :] = 1
+        self.register_buffer("mask", mask, persistent=False)
+        # kaiming-uniform init inside each masked block (reference reset_parameters)
+        import math
+        with torch.no_grad():
+            for p, cols in enumerate(expanded):
+                block = torch.zeros(self.out_per, len(cols), kernel_size)
+                nn.init.kaiming_uniform_(block, a=math.sqrt(5))
+                self.weight[self.out_per * p : self.out_per * (p + 1),
+                            torch.as_tensor(cols)] = block
+                bound = 1 / math.sqrt(len(cols) * kernel_size)
+                nn.init.uniform_(
+                    self.bias[self.out_per * p : self.out_per * (p + 1)], -bound, bound
+                )
+
+    def forward(self, x):
+        x = torch.nn.functional.pad(x, (self.padding, self.padding), mode="constant")
+        return torch.nn.functional.conv1d(x, self.weight * self.mask, self.bias,
+                                          self.stride, 0)
+
+
+class TorchSkeletonPool(nn.Module):
+    def __init__(self, pool_weight):
+        super().__init__()
+        self.register_buffer("weight", torch.as_tensor(pool_weight), persistent=False)
+
+    def forward(self, x):
+        return torch.matmul(self.weight, x)
+
+
+class TorchLocalEncoder(nn.Module):
+    """LocalEncoder: [SkeletonConv s2 -> SkeletonPool -> LeakyReLU(0.2)] per layer,
+    channels-first internally. State-dict keys: layers.{i}.0.{weight,bias}."""
+
+    def __init__(self, plan):
+        super().__init__()
+        self.layers = nn.ModuleList()
+        for layer in plan.layers:
+            out_ch, in_ch, k = layer.mask.shape
+            nb = []
+            # reconstruct neighbour lists from the mask (cols of each part's rows)
+            for p in range(layer.joint_num):
+                row = layer.mask[p * layer.out_per_joint, :, 0]
+                cols = np.flatnonzero(row)
+                nb.append(sorted(set(int(c) // layer.in_per_joint for c in cols)))
+            conv = TorchSkeletonConv(nb, in_ch, out_ch, k, layer.joint_num,
+                                     stride=2, padding=1)
+            self.layers.append(nn.Sequential(
+                conv, TorchSkeletonPool(layer.pool_weight), nn.LeakyReLU(0.2)
+            ))
+
+    def forward(self, x):  # (bs, t, c)
+        h = x.permute(0, 2, 1)
+        for layer in self.layers:
+            h = layer(h)
+        return h.permute(0, 2, 1)
