@@ -6,53 +6,70 @@ Parity with the reference's two parallel formats (train_emage_audio.py:524-540,
 model for ``from_pretrained``. Resume restores params + opt state + iteration and the
 caller fast-forwards the dataloader (loop.py).
 
-The monolithic file is a pickle of numpy-ified pytrees (the torch.save analogue; same
-trust model — only load files you wrote).
+Unlike the reference's torch.save pickle (arbitrary code execution on load), the
+monolithic file is **safetensors**: leaves of the (params, opt_state) pytrees stored
+by flattened index with iteration/extra in the string metadata. Restoring an opt
+state requires a structure template (orbax-style restore-with-target) — the train
+loop passes the freshly initialized state it already holds.
 """
 from __future__ import annotations
 
+import json
 import os
-import pickle
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from safetensors.numpy import load_file, save_file
 
 
-def _to_numpy(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+def _flatten(tree, prefix: str) -> Dict[str, np.ndarray]:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return {f"{prefix}.{i:05d}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
 
 
-def _to_jax(tree):
-    return jax.tree_util.tree_map(
-        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, tree
-    )
+def _unflatten(flat: Dict[str, np.ndarray], prefix: str, template) -> Any:
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    loaded = [jnp.asarray(flat[f"{prefix}.{i:05d}"]) for i in range(len(leaves))]
+    for i, (new, old) in enumerate(zip(loaded, leaves)):
+        if np.shape(new) != np.shape(old):
+            raise ValueError(
+                f"{prefix} leaf {i}: checkpoint shape {np.shape(new)} != "
+                f"template shape {np.shape(old)} — wrong model/optimizer config"
+            )
+    return jax.tree_util.tree_unflatten(treedef, loaded)
 
 
 def save_train_state(path: str, params, opt_state, iteration: int,
                      extra: Optional[Dict[str, Any]] = None) -> None:
-    state = {
-        "model": _to_numpy(params),
-        "opt_state": _to_numpy(opt_state),
-        "iteration": int(iteration),
-        "extra": extra or {},
-    }
+    tensors = {**_flatten(params, "model"), **_flatten(opt_state, "opt_state")}
+    meta = {"iteration": str(int(iteration)), "extra": json.dumps(extra or {})}
     tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        pickle.dump(state, f)
+    save_file(tensors, tmp, metadata=meta)
     os.replace(tmp, path)
 
 
-def load_train_state(path: str):
-    with open(path, "rb") as f:
-        state = pickle.load(f)
-    return (
-        _to_jax(state["model"]),
-        _to_jax(state["opt_state"]),
-        state["iteration"],
-        state.get("extra", {}),
-    )
+def load_train_state(path: str, params_template=None, opt_state_template=None
+                     ) -> Tuple[Any, Any, int, Dict[str, Any]]:
+    """Restore (params, opt_state, iteration, extra). Templates supply the pytree
+    structures (shape-checked); without them, params come back as a flat
+    {index: array} dict and opt_state cannot be reconstructed."""
+    from safetensors import safe_open
+
+    flat = load_file(path)
+    with safe_open(path, framework="numpy") as f:
+        meta = f.metadata() or {}
+    iteration = int(meta.get("iteration", 0))
+    extra = json.loads(meta.get("extra", "{}"))
+    if params_template is None or opt_state_template is None:
+        raise ValueError(
+            "load_train_state needs params/opt_state templates to rebuild the "
+            "pytree structures (pass the freshly initialized state)"
+        )
+    params = _unflatten(flat, "model", params_template)
+    opt_state = _unflatten(flat, "opt_state", opt_state_template)
+    return params, opt_state, iteration, extra
 
 
 class BestKeeper:

@@ -95,7 +95,10 @@ def run_training(
     """
     iteration = 0
     if loop_cfg.resume_from_checkpoint:
-        params, opt_state, iteration, _ = load_train_state(loop_cfg.resume_from_checkpoint)
+        params, opt_state, iteration, _ = load_train_state(
+            loop_cfg.resume_from_checkpoint,
+            params_template=params, opt_state_template=opt_state,
+        )
         print(f"resumed from {loop_cfg.resume_from_checkpoint} at step {iteration}")
 
     if len(train_loader) == 0:

@@ -265,3 +265,76 @@ def test_emage_training_reduces_loss():
     last = float(losses["all"])
     assert np.isfinite(last)
     assert last < 0.8 * first, (first, last)
+
+
+def test_train_state_safetensors_roundtrip(tmp_path):
+    """The monolithic train-state file is safetensors (no arbitrary-code-on-load),
+    round-trips params + optimizer state + iteration + extra via structure
+    templates, and shape-mismatched templates are rejected."""
+    from pantomatrix_tpu.train.ckpt import load_train_state, save_train_state
+
+    params = init_camn(jax.random.PRNGKey(0), CAMN_CFG)
+    opt = make_optimizer(learning_rate=1e-4)
+    opt_state = init_opt_state(opt, params)
+    path = str(tmp_path / "last.bin")
+    save_train_state(path, params, opt_state, 123, {"metric": 0.5})
+
+    with open(path, "rb") as f:
+        head = f.read(16)
+    assert head[0:1] != b"\x80", "file is a pickle"  # pickle protocol magic
+    assert b"{" in head  # safetensors JSON header
+
+    p2 = init_camn(jax.random.PRNGKey(1), CAMN_CFG)  # different values, same tree
+    o2 = init_opt_state(opt, p2)
+    params_r, opt_r, it, extra = load_train_state(path, p2, o2)
+    assert it == 123 and extra == {"metric": 0.5}
+    for a, b in zip(jax.tree_util.tree_leaves(params_r),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(opt_r),
+                    jax.tree_util.tree_leaves(opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    bad = init_camn(jax.random.PRNGKey(2), CamnAudioConfig(hidden_size=48, n_layer=1))
+    with pytest.raises(ValueError, match="template shape"):
+        load_train_state(path, bad, init_opt_state(opt, bad))
+
+
+def test_run_training_resume_roundtrip(tmp_path):
+    """Resume restores iteration and continues to max_train_steps (the reference's
+    last.bin resume, train_emage_audio.py:281-294)."""
+    from pantomatrix_tpu.train.ckpt import load_train_state
+    from pantomatrix_tpu.train.loop import TrainLoopConfig, run_training
+
+    params = init_camn(jax.random.PRNGKey(0), CAMN_CFG)
+    opt = make_optimizer(learning_rate=1e-4)
+    mesh = make_mesh(1)
+    step = make_camn_train_step(CAMN_CFG, opt, mesh)
+    opt_state = init_opt_state(opt, params)
+
+    class Loader:
+        def __init__(self):
+            self.epoch = 0
+        def set_epoch(self, e):
+            self.epoch = e
+        def __len__(self):
+            return 2
+        def __iter__(self):
+            for i in range(2):
+                yield camn_batch(bs=2, seed=self.epoch * 10 + i)
+
+    cfg1 = TrainLoopConfig(max_train_steps=2, validation_steps=2,
+                           ckpt_dir=str(tmp_path / "ckpt"), log_period=1)
+    p1 = jax.tree_util.tree_map(jnp.copy, params)
+    o1 = jax.tree_util.tree_map(jnp.copy, opt_state)
+    run_training(cfg1, step, p1, o1, Loader(), place_batch=lambda b: b,
+                 val_fn=lambda p, i: 1.0, model_config=CAMN_CFG)
+
+    cfg2 = TrainLoopConfig(max_train_steps=4, validation_steps=100,
+                           ckpt_dir=str(tmp_path / "ckpt2"), log_period=1,
+                           resume_from_checkpoint=str(tmp_path / "ckpt" / "last.bin"))
+    p2 = jax.tree_util.tree_map(jnp.copy, params)
+    o2 = jax.tree_util.tree_map(jnp.copy, opt_state)
+    _, _, it = run_training(cfg2, step, p2, o2, Loader(), place_batch=lambda b: b,
+                            model_config=CAMN_CFG)
+    assert it == 4
