@@ -65,6 +65,15 @@ def _flops_of(fn, *args, **kwargs) -> float:
     return float(ca["flops"])
 
 
+def _zeros_like_shapes(tree):
+    """ShapeDtypeStruct tree -> concrete zero arrays (for cost-analysis lowering)."""
+    return jax.tree.map(
+        lambda s: None if s is None else jnp.zeros(s.shape, s.dtype),
+        tree,
+        is_leaf=lambda x: x is None,
+    )
+
+
 def main():
     from pantomatrix_tpu.models.configs import EmageAudioConfig
     from pantomatrix_tpu.models.emage import (
@@ -77,8 +86,10 @@ def main():
     from pantomatrix_tpu.models.emage_vq import init_vq_suite, vq_decode
 
     cfg = EmageAudioConfig()
-    params = init_emage(jax.random.PRNGKey(0), cfg)
-    suite = init_vq_suite(jax.random.PRNGKey(1))
+    # jit the param inits: eagerly they dispatch thousands of ops through the device
+    # tunnel (~7 ms each, >100 s total); as one compiled program they take seconds
+    params = jax.jit(lambda k: init_emage(k, cfg))(jax.random.PRNGKey(0))
+    suite = jax.jit(init_vq_suite)(jax.random.PRNGKey(1))
 
     # the BASELINE long-form serving config: 64 clips x 60 s
     batch = 64
@@ -115,13 +126,17 @@ def main():
             step_fn, params, suite, audio[:, : size * SAMPLES_PER_FRAME], speaker_id,
             masked_motion[:, :size], mask[:, :size],
         )
-    sel_example = _select_decode_inputs(
-        cfg, _inference_impl(params, cfg, suite, audio, speaker_id, masked_motion,
-                             mask, rounds, remain)
+    # shapes only — eval_shape traces without executing (an eager run here would
+    # dispatch the whole AR program op-by-op through the device tunnel)
+    sel_shapes = jax.eval_shape(
+        lambda p, s, a, sp, m, k: _select_decode_inputs(
+            cfg, _inference_impl(p, cfg, s, a, sp, m, k, rounds, remain)
+        ),
+        params, suite, audio, speaker_id, masked_motion, mask,
     )
     flops += _flops_of(
         lambda s, **kw: vq_decode(s, **kw, get_global_motion=True, ref_trans=ref_trans),
-        suite, **sel_example,
+        suite, **_zeros_like_shapes(sel_shapes),
     )
 
     # ---- timing ----
