@@ -2,7 +2,7 @@
 
 Protocol — the reference's flagship path (test_emage_audio.py:16-105) end-to-end as
 ONE device program: full-size EMAGE audio model (h=768, 8-layer cross-attn, window 64)
-+ the five VQ tokenizers, **batch 64 x 60 s** of 16 kHz audio -> sliding-window AR
++ the five VQ tokenizers, **batch 128 x 60 s** of 16 kHz audio -> sliding-window AR
 inference -> head routing -> VQ decode with global-translation integration ->
 (poses[?,t,165], expressions[?,t,100], trans[?,t,3]).
 
@@ -11,7 +11,7 @@ Credibility rules (VERDICT round 1, weak #1):
   (np.asarray of real bytes derived from the final buffers) — the transfer cannot
   complete before the whole program has executed, so async dispatch can never be
   mistaken for completed compute. The JSON also carries
-  ``wall_s_full_host_materialization`` — the same call with ALL 123 MB of outputs
+  ``wall_s_full_host_materialization`` — the same call with ALL ~247 MB of outputs
   copied to host — so the (environment-specific) tunnel transfer cost is visible
   rather than folded into the chip-throughput headline.
 - FLOPs are counted compositionally from XLA's cost model on the compiled
@@ -91,8 +91,9 @@ def main():
     params = jax.jit(lambda k: init_emage(k, cfg))(jax.random.PRNGKey(0))
     suite = jax.jit(init_vq_suite)(jax.random.PRNGKey(1))
 
-    # the BASELINE long-form serving config: 64 clips x 60 s
-    batch = 64
+    # long-form serving config: 128 clips x 60 s. Batch sweep on the real chip
+    # (PROFILE.md): b64 6,142x / b128 8,748x / b256 7,954x -> 128 is the knee.
+    batch = 128
     seconds = 60.0
     n_samples = int(seconds * 16000)
     rng = np.random.RandomState(0)

@@ -19,8 +19,14 @@ def velocity2position(data_seq: jnp.ndarray, dt: float, init_pos: jnp.ndarray) -
     init = init_pos[:, None, :]
     if data_seq.shape[1] == 1:
         return init
-    increments = dt * jnp.cumsum(data_seq[:, :-1, :], axis=1)
-    return jnp.concatenate([init, init + increments], axis=1)
+    # accumulate in float32 under low-precision inputs: cumsum error grows with t,
+    # and translation drift is user-visible over long clips
+    acc_dtype = (
+        jnp.float32 if data_seq.dtype in (jnp.bfloat16, jnp.float16) else data_seq.dtype
+    )
+    increments = dt * jnp.cumsum(data_seq[:, :-1, :].astype(acc_dtype), axis=1)
+    out = jnp.concatenate([init.astype(acc_dtype), init.astype(acc_dtype) + increments], axis=1)
+    return out.astype(data_seq.dtype)
 
 
 __all__ = ["velocity2position"]

@@ -161,10 +161,10 @@ class EmageAudioModel(PretrainedModel):
         )
 
     def inference(self, audio, speaker_id, vq_model: EmageVQModel,
-                  masked_motion=None, mask=None):
+                  masked_motion=None, mask=None, compute_dtype=None):
         return _emage.emage_inference(
             self.params, self.config, audio, speaker_id, vq_model.suite,
-            masked_motion, mask,
+            masked_motion, mask, compute_dtype=compute_dtype,
         )
 
 

@@ -189,15 +189,33 @@ def _window_step(params, cfg: EmageAudioConfig, suite: EmageVQSuite,
     sel = _select_decode_inputs(cfg, net_out)
     decode = vq_decode(suite, **sel)
     last_motion = decode["all_motion4inference"][:, -cfg.seed_frames :, :]
-    return net_out, last_motion
+    # under a low-precision compute dtype the suite stays float32 (decode is ~7% of
+    # the FLOPs and rotation math is acos-sensitive), so the decoded seed is cast
+    # back to the window dtype to keep the scan carry consistent
+    return net_out, last_motion.astype(window_motion.dtype)
 
 
 def _inference_impl(params, cfg: EmageAudioConfig, suite: EmageVQSuite, audio,
-                    speaker_id, masked_motion, mask, rounds: int, remain: int):
+                    speaker_id, masked_motion, mask, rounds: int, remain: int,
+                    compute_dtype: Optional[str] = None):
     """Whole AR generation as ONE device program: lax.scan over the full windows
     (the seed dependency makes rounds sequential, but all dispatch stays on device)
     plus an unrolled remainder window. Numerically identical to the reference's
-    python loop — the same slices and ops, staged differently."""
+    python loop — the same slices and ops, staged differently.
+
+    compute_dtype: optional low-precision serving mode ("bfloat16"): the audio-model
+    params and activations are cast once (outside the scan) and the transformer runs
+    in that dtype; the VQ suite, reductions (LayerNorm/softmax/BN scale), and the
+    decoded outputs stay float32 (see utils/precision.py). None = float32 parity mode.
+    """
+    if compute_dtype is not None:
+        from ..utils.precision import cast_floating
+
+        dt = jnp.dtype(compute_dtype)
+        params = cast_floating(params, dt)
+        audio = audio.astype(dt)
+        masked_motion = masked_motion.astype(dt)
+        mask = mask.astype(dt)
     window, pre = cfg.pose_length, cfg.seed_frames
     stride = window - pre
 
@@ -232,10 +250,12 @@ def _inference_impl(params, cfg: EmageAudioConfig, suite: EmageVQSuite, audio,
     return outs
 
 
-# params and suite are pytrees (EmageVQSuite is registered); cfg/rounds/remain are
-# static: every audio length maps to one compiled whole-sequence program, and all
-# lengths share the scanned window body.
-_inference_jit = jax.jit(_inference_impl, static_argnames=("cfg", "rounds", "remain"))
+# params and suite are pytrees (EmageVQSuite is registered); cfg/rounds/remain/
+# compute_dtype are static: every audio length maps to one compiled whole-sequence
+# program, and all lengths share the scanned window body.
+_inference_jit = jax.jit(
+    _inference_impl, static_argnames=("cfg", "rounds", "remain", "compute_dtype")
+)
 
 
 def emage_inference(
@@ -246,18 +266,22 @@ def emage_inference(
     suite: EmageVQSuite,
     masked_motion: Optional[jnp.ndarray] = None,
     mask: Optional[jnp.ndarray] = None,
+    compute_dtype: Optional[str] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Sliding-window autoregressive generation (:343-490).
 
     64-frame windows with a 4-frame overlap; the previous window's *decoded* tail seeds
     the next window's unmasked slots; outputs are concatenated minus the overlap, plus a
     remainder window when ``remain > seed_frames``.
+
+    compute_dtype="bfloat16" selects the low-precision serving mode (see
+    ``_inference_impl``); default float32 is the reference-parity path.
     """
     masked_motion, mask, rounds, remain = prepare_ar_inputs(
         cfg, audio, masked_motion, mask
     )
     return _inference_jit(params, cfg, suite, audio, speaker_id, masked_motion, mask,
-                          rounds=rounds, remain=remain)
+                          rounds=rounds, remain=remain, compute_dtype=compute_dtype)
 
 
 def prepare_ar_inputs(cfg: EmageAudioConfig, audio: jnp.ndarray,

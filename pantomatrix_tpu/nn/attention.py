@@ -66,7 +66,12 @@ def multi_head_attention(
             scores = scores + attn_mask[None, None]
         else:
             scores = scores + attn_mask[:, None]
-    attn = jax.nn.softmax(scores, axis=-1)
+    if scores.dtype in (jnp.bfloat16, jnp.float16):
+        # softmax in float32 under low-precision activations: with 8 mantissa bits,
+        # exp + normalize visibly skews attention weights at 64-token rows
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
+    else:
+        attn = jax.nn.softmax(scores, axis=-1)
     attn = dropout(attn, dropout_rate, ctx)
     out = attn @ v  # (B, H, Tq, Dh)
     B, _, Tq, _ = out.shape

@@ -140,12 +140,31 @@ def batch_norm1d(
     else:
         mean = p["running_mean"]
         var = p["running_var"]
+    if x.dtype in (jnp.bfloat16, jnp.float16):
+        # per-channel scale/shift in float32 (free: C-sized vectors) so low-precision
+        # running stats don't lose normalization accuracy; the elementwise apply
+        # stays in the activation dtype
+        inv = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
+        scale = inv * p["weight"].astype(jnp.float32)
+        shift = p["bias"].astype(jnp.float32) - mean.astype(jnp.float32) * scale
+        return x * scale.astype(x.dtype) + shift.astype(x.dtype)
     inv = jax.lax.rsqrt(var + eps)
     return (x - mean) * (inv * p["weight"]) + p["bias"]
 
 
 def layer_norm(p: Params, x: Array, eps: float = 1e-5) -> Array:
-    """torch nn.LayerNorm over the last dim."""
+    """torch nn.LayerNorm over the last dim.
+
+    Under bfloat16/float16 activations the mean/variance reduction runs in float32
+    (8-bit mantissas lose the variance of near-constant rows entirely); the result
+    is cast back to the activation dtype.
+    """
+    if x.dtype in (jnp.bfloat16, jnp.float16):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + eps)
+        return (y * p["weight"] + p["bias"]).astype(x.dtype)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
     return (x - mean) * jax.lax.rsqrt(var + eps) * p["weight"] + p["bias"]

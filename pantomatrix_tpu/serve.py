@@ -41,12 +41,19 @@ class GenerationResult:
 class EmageGenerator:
     """High-level audio -> full-body motion generation with compile-friendly shapes."""
 
-    def __init__(self, model, vq_model, batch_size: int = 8, bucket_seconds: float = 8.0):
-        """model: models.api.EmageAudioModel; vq_model: models.api.EmageVQModel."""
+    def __init__(self, model, vq_model, batch_size: int = 8, bucket_seconds: float = 8.0,
+                 compute_dtype: Optional[str] = None):
+        """model: models.api.EmageAudioModel; vq_model: models.api.EmageVQModel.
+
+        compute_dtype="bfloat16" runs the audio-model transformer in bfloat16
+        (reductions and VQ decode stay float32 — see models/emage.py); None (default)
+        is the float32 reference-parity mode.
+        """
         self.model = model
         self.vq = vq_model
         self.batch_size = batch_size
         self.bucket_samples = int(bucket_seconds * SR)
+        self.compute_dtype = compute_dtype
 
     def _bucket_len(self, n_samples: int) -> int:
         return max(1, math.ceil(n_samples / self.bucket_samples)) * self.bucket_samples
@@ -84,7 +91,8 @@ class EmageGenerator:
                 for row, i in enumerate(idxs):
                     rt[row, 0] = np.asarray(ref_trans[i], np.float32)
 
-            latent = self.model.inference(jnp.asarray(batch), jnp.asarray(spk), self.vq)
+            latent = self.model.inference(jnp.asarray(batch), jnp.asarray(spk), self.vq,
+                                          compute_dtype=self.compute_dtype)
             sel = _select_decode_inputs(self.model.config, latent)
             decoded = self.vq.decode(**sel, get_global_motion=True,
                                      ref_trans=jnp.asarray(rt))
