@@ -36,6 +36,7 @@ def init_env(default_config: str) -> DotDict:
         cfg.solver.max_train_steps = 4
         cfg.validation.validation_steps = 2
         cfg.validation.test_steps = 2
+        cfg.solver.steps_per_dispatch = 1  # debug budgets don't divide by the fused k
         cfg.debug = True
     for flag in ("wandb", "visualization", "evaluation", "test"):
         if getattr(args, flag):

@@ -89,6 +89,7 @@ def main():
         ckpt_dir=os.path.join(cfg.output_dir, "ckpt"),
         resume_from_checkpoint=cfg.get("resume_from_checkpoint"),
         seed=cfg.seed,
+        steps_per_dispatch=int(cfg.solver.get("steps_per_dispatch", 1)),
     )
     run_training(
         loop_cfg, step_fn, params, opt_state, train_loader,

@@ -137,32 +137,58 @@ def emage_forward(
         cross = cross * 0.0
     motion_fea = motion_fea + cross
 
-    upper_latent = mlp(params["motion2latent_upper"], motion_fea)
-    hands_latent = mlp(params["motion2latent_hands"], motion_fea)
-    lower_latent = mlp(params["motion2latent_lower"], motion_fea)
-
-    # cross-part refiners (:318-322)
-    refine = lambda name, tgt, mem: transformer_decoder(
-        params[name], tgt + spk_body, mem, num_layers=1, num_heads=4,
-        ctx=ctx, dropout_rate=cfg.dropout_prob,
+    # The three per-part branches (latent MLP -> cross-part refiner -> out/cls heads,
+    # :315-341) are architecturally identical with independent weights, so they run
+    # as ONE vmapped program over a stacked (3, ...) param axis instead of three
+    # sequential sub-graphs — same math per part (vmap only batches the ops), a third
+    # of the HLO ops per window. The stacks are loop-invariant, so XLA hoists them
+    # out of the AR scan.
+    stack3 = lambda a, b, c: jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), params[a], params[b], params[c]
     )
-    upper_ref = refine("body_motion_decoder_upper", upper_latent, hands_latent + lower_latent)
-    hands_ref = refine("body_motion_decoder_hands", hands_latent, upper_latent + lower_latent)
-    lower_ref = refine("body_motion_decoder_lower", lower_latent, upper_latent + hands_latent)
+    latent_p = stack3("motion2latent_upper", "motion2latent_hands", "motion2latent_lower")
+    part_latent = jax.vmap(mlp, in_axes=(0, None))(latent_p, motion_fea)  # (3, bs, t, h)
 
-    upper_out = linear(params["motion_out_proj_upper"], upper_latent + upper_ref)
-    hands_out = linear(params["motion_out_proj_hands"], hands_latent + hands_ref)
-    lower_out = linear(params["motion_out_proj_lower"], lower_latent + lower_ref)
+    # cross-part refiners (:318-322): each part attends over the sum of the other two
+    # (pairwise sums, same addition order as the reference — not sum(0)-part, whose
+    # rounding would differ)
+    refiner_p = stack3(
+        "body_motion_decoder_upper", "body_motion_decoder_hands", "body_motion_decoder_lower"
+    )
+    mems = jnp.stack([
+        part_latent[1] + part_latent[2],
+        part_latent[0] + part_latent[2],
+        part_latent[0] + part_latent[1],
+    ])
+    if ctx.train and ctx.rng is not None:
+        keys = jax.random.split(ctx.next_rng(), 3)
+    else:
+        keys = jnp.zeros((3, 2), jnp.uint32)
+
+    def refine(p, tgt, mem, key):
+        lctx = Ctx(train=ctx.train, rng=key if ctx.train else None,
+                   axis_name=ctx.axis_name)
+        return transformer_decoder(p, tgt, mem, num_layers=1, num_heads=4,
+                                   ctx=lctx, dropout_rate=cfg.dropout_prob)
+
+    part_ref = jax.vmap(refine, in_axes=(0, 0, 0, 0))(
+        refiner_p, part_latent + spk_body, mems, keys
+    )
+
+    out_p = stack3("motion_out_proj_upper", "motion_out_proj_hands", "motion_out_proj_lower")
+    part_out = jax.vmap(linear)(out_p, part_latent + part_ref)  # (3, bs, t, cb)
+    cls_p = stack3("motion_cls_upper", "motion_cls_hands", "motion_cls_lower")
+    part_cls = jax.vmap(mlp)(cls_p, part_out)
 
     return {
         "rec_face": face_latent,
-        "rec_upper": upper_out,
-        "rec_hands": hands_out,
-        "rec_lower": lower_out,
+        "rec_upper": part_out[0],
+        "rec_hands": part_out[1],
+        "rec_lower": part_out[2],
         "cls_face": classify_face,
-        "cls_upper": mlp(params["motion_cls_upper"], upper_out),
-        "cls_hands": mlp(params["motion_cls_hands"], hands_out),
-        "cls_lower": mlp(params["motion_cls_lower"], lower_out),
+        "cls_upper": part_cls[0],
+        "cls_hands": part_cls[1],
+        "cls_lower": part_cls[2],
     }
 
 

@@ -13,6 +13,7 @@ from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .ckpt import BestKeeper, load_train_state
 
@@ -52,8 +53,9 @@ class Meters:
 
     def update(self, losses: Dict[str, Any]) -> None:
         for k, v in losses.items():
-            self.sums[k] = self.sums.get(k, 0.0) + float(v)
-            self.counts[k] = self.counts.get(k, 0) + 1
+            v = np.asarray(v, dtype=np.float64)  # scalar, or (k,) from a fused dispatch
+            self.sums[k] = self.sums.get(k, 0.0) + float(v.sum())
+            self.counts[k] = self.counts.get(k, 0) + int(v.size)
 
     def means(self) -> Dict[str, float]:
         return {k: self.sums[k] / self.counts[k] for k in self.sums}
@@ -72,6 +74,12 @@ class TrainLoopConfig:
     resume_from_checkpoint: Optional[str] = None
     seed: int = 42
     wandb: bool = False
+    # >1 fuses this many optimizer steps into ONE device program (lax.scan over the
+    # raw step; train/steps.py make_multi_step): params/opt-state never return to the
+    # host between the fused updates. Measured 20x step throughput on tunneled
+    # single-chip setups (PROFILE.md); identical numerics to the sequential path.
+    # Must divide log_period, validation_steps, and max_train_steps.
+    steps_per_dispatch: int = 1
 
 
 def run_training(
@@ -109,66 +117,92 @@ def run_training(
     keeper = BestKeeper(loop_cfg.ckpt_dir, model_config)
     rng = jax.random.PRNGKey(loop_cfg.seed)
     meters = Meters()
-    epoch = 0
     steps_per_epoch = max(len(train_loader), 1)
     epoch = iteration // steps_per_epoch
     skip = iteration % steps_per_epoch  # deterministic resume (ref :313-317)
 
+    k = loop_cfg.steps_per_dispatch
+    multi_fn = None
+    if k > 1:
+        from .steps import make_multi_step
+
+        for name in ("log_period", "validation_steps", "max_train_steps"):
+            if getattr(loop_cfg, name) % k:
+                raise ValueError(
+                    f"steps_per_dispatch={k} must divide {name}="
+                    f"{getattr(loop_cfg, name)} so log/val/stop boundaries land "
+                    "between fused dispatches"
+                )
+        if iteration % k:
+            raise ValueError(
+                f"resumed iteration {iteration} is not a multiple of "
+                f"steps_per_dispatch={k} (checkpoints are written on val/stop "
+                "boundaries, which are)"
+            )
+        multi_fn = make_multi_step(step_fn, k)
+
+    def batch_stream():
+        nonlocal epoch, skip
+        while True:
+            train_loader.set_epoch(epoch)
+            for i, batch in enumerate(prefetch(train_loader, place_batch)):
+                if i < skip:
+                    continue
+                yield batch
+            skip = 0
+            epoch += 1
+
     data_time = net_time = 0.0
     pending = []
     last_saved = -1
+    stream = batch_stream()
     while iteration < loop_cfg.max_train_steps:
-        train_loader.set_epoch(epoch)
-        batches = iter(prefetch(train_loader, place_batch))
-        i = -1
-        while True:
-            # data time = how long the step loop actually blocks on the prefetch
-            # queue (the reference's data_time, train_emage_audio.py:504-519)
-            t0 = time.time()
-            batch = next(batches, None)
-            if batch is None:
-                break
-            data_time += time.time() - t0
-            i += 1
-            if skip:
-                if i < skip:
-                    continue
-                skip = 0
-            t0 = time.time()
+        # data time = how long the step loop actually blocks on the prefetch
+        # queue (the reference's data_time, train_emage_audio.py:504-519)
+        t0 = time.time()
+        if multi_fn is not None:
+            chunk = [next(stream) for _ in range(k)]
+            batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *chunk)
+        else:
+            batch = next(stream)
+        data_time += time.time() - t0
+
+        t0 = time.time()
+        if multi_fn is not None:
+            params, opt_state, losses = multi_fn(
+                params, opt_state, batch, rng, jnp.asarray(iteration, jnp.int32)
+            )
+        else:
             params, opt_state, losses = step_fn(
                 params, opt_state, batch, jax.random.fold_in(rng, iteration),
                 jnp.asarray(float(iteration)),
             )
-            iteration += 1
-            pending.append(losses)  # keep dispatch async; sync only at log_period
-            if iteration % loop_cfg.log_period == 0:
-                jax.block_until_ready(losses)
-            net_time += time.time() - t0
+        iteration += k
+        pending.append(losses)  # keep dispatch async; sync only at log_period
+        if iteration % loop_cfg.log_period == 0:
+            jax.block_until_ready(losses)
+        net_time += time.time() - t0
 
-            if iteration % loop_cfg.log_period == 0:
-                for l in pending:
-                    meters.update({k: float(v) for k, v in l.items()})
-                pending.clear()
-                means = meters.means()
-                if is_main_process:
-                    msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items()))
-                    print(f"step {iteration}: {msg} "
-                          f"(data {data_time:.1f}s net {net_time:.1f}s)")
-                    if log_fn:
-                        log_fn(iteration, means)
-                meters.reset()
+        if iteration % loop_cfg.log_period == 0:
+            for l in pending:
+                meters.update(l)
+            pending.clear()
+            means = meters.means()
+            if is_main_process:
+                msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items()))
+                print(f"step {iteration}: {msg} "
+                      f"(data {data_time:.1f}s net {net_time:.1f}s)")
+                if log_fn:
+                    log_fn(iteration, means)
+            meters.reset()
 
-            if val_fn is not None and iteration % loop_cfg.validation_steps == 0:
-                metric = float(val_fn(params, iteration))
-                if is_main_process:
-                    improved = keeper.update(metric, params, opt_state, iteration)
-                    last_saved = iteration
-                    print(f"val @ {iteration}: metric={metric:.4f}"
-                          + (" (new best)" if improved else ""))
-
-            if iteration >= loop_cfg.max_train_steps:
-                break
-        epoch += 1
+        if val_fn is not None and iteration % loop_cfg.validation_steps == 0:
+            metric = float(val_fn(params, iteration))
+            if is_main_process:
+                improved = keeper.update(metric, params, opt_state, iteration)
+                last_saved = iteration
+                print(f"val @ {iteration}: metric={metric:.4f}"
+                      + (" (new best)" if improved else ""))
 
     if is_main_process and last_saved != iteration:
         # always persist the final params (inf metric never displaces the best)

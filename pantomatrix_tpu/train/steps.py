@@ -308,7 +308,10 @@ def _make_step(loss_fn, optimizer, mesh: Optional[Mesh], axis_name: str,
             out_specs=(P(), P(), P()),
             check_vma=False,
         )
-        return jax.jit(mapped, donate_argnums=(0, 1))
+        jitted = jax.jit(mapped, donate_argnums=(0, 1))
+        jitted.raw = mapped  # un-jitted body: composable into larger programs
+        jitted.mesh, jitted.axis_name = mesh, axis_name
+        return jitted
 
     # pjit path: the loss is a global mean, so no explicit collectives are needed.
     def step(params, opt_state, batch, rng, iteration):
@@ -323,9 +326,65 @@ def _make_step(loss_fn, optimizer, mesh: Optional[Mesh], axis_name: str,
 
     replicated = NamedSharding(mesh, P())
     sharded = NamedSharding(mesh, P(axis_name))
-    return jax.jit(
+    jitted = jax.jit(
         step,
         in_shardings=(replicated, replicated, sharded, replicated, replicated),
+        out_shardings=(replicated, replicated, replicated),
+        donate_argnums=(0, 1),
+    )
+    # un-jitted body: lets callers fuse many steps into one device program (e.g. a
+    # lax.scan over steps for epoch-style loops or steady-state benchmarking, where
+    # per-call host<->device traffic would otherwise dominate on tunneled platforms)
+    jitted.raw = step
+    jitted.mesh, jitted.axis_name = mesh, axis_name
+    return jitted
+
+
+def make_multi_step(step: Callable, k: int) -> Callable:
+    """Fuse ``k`` consecutive train steps into ONE device program.
+
+    step: a jitted step from ``make_*_train_step`` (its ``.raw`` body is scanned).
+    Returns jitted ``(params, opt_state, batches, rng, iteration0) ->
+    (params, opt_state, metrics)`` where ``batches`` is the per-step batch dict with a
+    leading (k, ...) axis, ``iteration0`` is the int32 global step of the first inner
+    step, and ``metrics`` are stacked per step, newest last. Inner step j gets
+    ``fold_in(rng, iteration0 + j)`` and iteration ``float(iteration0 + j)`` — exactly
+    what ``run_training``'s sequential path passes for global step iteration0+j, so
+    fused and unfused training produce identical updates (same math; only the host
+    boundary moves).
+
+    Why: params/opt-state stay on device between the k updates — one host dispatch
+    per k steps. On tunneled single-chip setups (CLAUDE.md) per-call param traffic
+    dominates (measured 20x on CaMN: 2.1 s/call -> 106 ms/step scanned); on real
+    multi-host pods it reduces host sync points. The reference has no analogue
+    (torch executes eagerly); this is free structure from the functional step design.
+    """
+    raw = getattr(step, "raw", step)
+    mesh = getattr(step, "mesh", None)
+
+    def many(params, opt_state, batches, rng, iteration0):
+        def body(carry, j):
+            p, o = carry
+            batch = jax.tree_util.tree_map(lambda x: x[j], batches)
+            it = iteration0 + j
+            p, o, metrics = raw(p, o, batch, jax.random.fold_in(rng, it),
+                                it.astype(jnp.float32))
+            return (p, o), metrics
+
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(k)
+        )
+        return params, opt_state, metrics
+
+    if mesh is None:
+        return jax.jit(many, donate_argnums=(0, 1))
+    # mirror the per-step shardings: batch leaves carry (k, batch, ...) so the data
+    # axis moves to dim 1; params/opt/rng/iteration replicated, outputs replicated
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P(None, step.axis_name))
+    return jax.jit(
+        many,
+        in_shardings=(replicated, replicated, batch_sharded, replicated, replicated),
         out_shardings=(replicated, replicated, replicated),
         donate_argnums=(0, 1),
     )
@@ -344,6 +403,7 @@ __all__ = [
     "make_camn_train_step",
     "make_disco_train_step",
     "make_emage_train_step",
+    "make_multi_step",
     "mask_ratio_schedule",
     "partition_params",
 ]
