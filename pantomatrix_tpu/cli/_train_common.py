@@ -55,6 +55,50 @@ def seed_everything(seed: int) -> None:
     os.environ["PYTHONHASHSEED"] = str(seed)
 
 
+def build_test_fn(cfg, make_generate, pose_fps: int, with_face: bool = False):
+    """Periodic in-training test pass — the reference's every-``test_steps`` rank-0
+    block (train_emage_audio.py:320-329): generate the full test split, save npz,
+    compute metrics. Returns ``test_fn(params, iteration) -> metric dict`` or None
+    when evaluation is not requested or the test split is empty.
+
+    ``make_generate(params) -> generate_fn`` binds the live params each call (the
+    loop's params advance between test passes)."""
+    if not (cfg.validation.get("evaluation") or cfg.validation.get("test")):
+        return None
+    from ..eval.test_flow import run_test_pass, unique_test_clips
+
+    test_list = unique_test_clips(cfg.data.test_meta_paths)
+    if not test_list:
+        print("no mode=='test' clips in data.test_meta_paths; test pass disabled")
+        return None
+
+    def test_fn(params, iteration):
+        folder = os.path.join(cfg.output_dir, f"test_{iteration}")
+        return run_test_pass(make_generate(params), test_list, folder,
+                             pose_fps=pose_fps, with_face=with_face)
+
+    return test_fn
+
+
+def run_test_and_exit(cfg, test_fn, params, opt_state):
+    """--test mode: run the test pass once from the configured checkpoint and exit
+    (train_emage_audio.py:329). Returns True when the CLI should stop."""
+    if not cfg.validation.get("test"):
+        return False
+    import json
+
+    if cfg.get("resume_from_checkpoint"):
+        from ..train.ckpt import load_train_state
+
+        params, _, it, _ = load_train_state(cfg.resume_from_checkpoint,
+                                            params, opt_state)
+        print(f"testing checkpoint {cfg.resume_from_checkpoint} (step {it})")
+    if test_fn is None:
+        raise SystemExit("--test needs mode=='test' clips in data.test_meta_paths")
+    print(json.dumps(test_fn(params, 0), indent=2))
+    return True
+
+
 def windowed_fgd_val(val_loader, predict_rot6d_fn, window: int = 64):
     """Build a val_fn computing windowed FGD over the val split (reference val loop,
     train_emage_audio.py:332-346). predict_rot6d_fn(params, batch) ->
@@ -77,4 +121,5 @@ def windowed_fgd_val(val_loader, predict_rot6d_fn, window: int = 64):
     return val_fn
 
 
-__all__ = ["init_env", "parse_args", "seed_everything", "windowed_fgd_val"]
+__all__ = ["build_test_fn", "init_env", "parse_args", "run_test_and_exit",
+           "seed_everything", "windowed_fgd_val"]

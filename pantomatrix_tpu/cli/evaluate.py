@@ -19,32 +19,17 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import time
 
-import numpy as np
-
-
-def unique_test_clips(meta_paths):
-    test_list = []
-    for p in meta_paths:
-        with open(p) as f:
-            test_list.extend(json.load(f))
-    test_list = [m for m in test_list if m.get("mode") == "test"]
-    seen = set()
-    out = []
-    for m in test_list:
-        if m["video_id"] not in seen:
-            seen.add(m["video_id"])
-            out.append(m)
-    return out
+from ..eval.test_flow import (
+    make_camn_generate,
+    make_disco_generate,
+    make_emage_generate,
+    run_test_pass,
+    unique_test_clips,
+)
 
 
 def main():
-    import jax.numpy as jnp
-
-    from ..data.audio import load_audio
-    from ..eval.pipeline import evaluate_clips
-    from ..io.beat_format import beat_format_save
     from ..models.api import AutoModel
 
     p = argparse.ArgumentParser()
@@ -77,64 +62,22 @@ def main():
     model = AutoModel.from_pretrained(args.model_path)
     cfg = model.config
 
-    vq = None
     if args.family == "emage":
         from .test_emage import load_models
 
         e_args = argparse.Namespace(model_path=args.vq_path or args.model_path,
                                     random_init=False)
         _, vq = load_models(e_args)
+        generate_fn = make_emage_generate(model.params, cfg, vq.suite)
+    elif args.family == "disco":
+        generate_fn = make_disco_generate(model.params, cfg)
+    else:
+        generate_fn = make_camn_generate(model.params, cfg)
 
-    save_list = []
-    fwd_jit = None
-    decode_jit = None
-    total_t = 0
-    t0 = time.time()
-    for meta in test_list:
-        wave = load_audio(meta["audio_path"], cfg.audio_sr)
-        audio = jnp.asarray(wave)[None]
-        speaker_id = jnp.zeros((1, 1), jnp.int32)
-        out_path = os.path.join(args.save_folder, f"{meta['video_id']}_output.npz")
-        if args.family == "emage":
-            from ..models.emage import _select_decode_inputs
-            from .test_emage import make_decode_jit
-
-            if decode_jit is None:
-                decode_jit = make_decode_jit(vq)
-            latent = model.inference(audio, speaker_id, vq)
-            sel = _select_decode_inputs(cfg, latent)
-            pred = decode_jit(sel, jnp.zeros((1, 1, 3))[:, 0])
-            motion = np.asarray(pred["motion_axis_angle"])[0]
-            beat_format_save(out_path, motion, upsample=30 // cfg.pose_fps,
-                             expressions=np.asarray(pred["expression"])[0],
-                             trans=np.asarray(pred["trans"])[0])
-        else:
-            import jax
-
-            if fwd_jit is None:
-                fwd_jit = jax.jit(lambda a, s: model(a, s, seed_frames=cfg.seed_frames))
-            motion = np.asarray(fwd_jit(audio, speaker_id)["motion_axis_angle"])[0]
-            beat_format_save(out_path, motion, upsample=30 // cfg.pose_fps)
-        total_t += motion.shape[0]
-        save_list.append({"video_id": meta["video_id"], "motion_path": out_path})
-    print(f"cost {time.time() - t0:.2f}s to generate "
-          f"{total_t / cfg.pose_fps:.2f}s of motion")
-
-    smplx_model = None
-    try:
-        from ..core.smplx import default_model_path, load_smplx
-
-        mp = default_model_path()
-        if mp:
-            smplx_model = load_smplx(mp)
-    except Exception as e:
-        print(f"SMPL-X unavailable ({e}); computing FGD only")
-
-    metrics = evaluate_clips(test_list, save_list, smplx_model=smplx_model,
-                             with_face=args.family == "emage")
+    metrics = run_test_pass(generate_fn, test_list, args.save_folder,
+                            pose_fps=cfg.pose_fps, audio_sr=cfg.audio_sr,
+                            with_face=args.family == "emage")
     print(json.dumps(metrics, indent=2))
-    with open(os.path.join(args.save_folder, "metrics.json"), "w") as f:
-        json.dump(metrics, f, indent=2)
 
 
 if __name__ == "__main__":

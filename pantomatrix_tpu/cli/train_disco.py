@@ -65,7 +65,13 @@ def main():
     )
     from ..train.optim import make_optimizer
     from ..train.steps import init_opt_state, make_disco_train_step
-    from ._train_common import init_env, seed_everything, windowed_fgd_val
+    from ._train_common import (
+        build_test_fn,
+        init_env,
+        run_test_and_exit,
+        seed_everything,
+        windowed_fgd_val,
+    )
 
     pidx, pcount = maybe_init_distributed()
     cfg = init_env(os.path.join(os.path.dirname(__file__), "..", "configs", "disco_audio.yaml"))
@@ -116,6 +122,13 @@ def main():
 
     val_fn = windowed_fgd_val(val_loader, predict_rot6d) if val_loader else None
 
+    from ..eval.test_flow import make_disco_generate
+
+    test_fn = build_test_fn(cfg, lambda p: make_disco_generate(p, model_cfg),
+                            pose_fps=model_cfg.pose_fps)
+    if run_test_and_exit(cfg, test_fn, params, opt_state):
+        return
+
     loop_cfg = TrainLoopConfig(
         max_train_steps=int(cfg.solver.max_train_steps),
         validation_steps=int(cfg.validation.validation_steps),
@@ -124,11 +137,13 @@ def main():
         resume_from_checkpoint=cfg.get("resume_from_checkpoint"),
         seed=cfg.seed,
         steps_per_dispatch=int(cfg.solver.get("steps_per_dispatch", 1)),
+        test_steps=int(cfg.validation.get("test_steps", 0) or 0),
     )
     run_training(
         loop_cfg, step_fn, params, opt_state, train_loader,
         place_batch=lambda b: shard_batch(b, mesh),
         val_fn=val_fn, model_config=model_cfg, is_main_process=(pidx == 0),
+        test_fn=test_fn,
     )
 
 

@@ -1,0 +1,158 @@
+"""Test-set generation + evaluation as a reusable pass.
+
+This is the reference's per-`test_steps` rank-0 block and its ``--test`` mode in one
+place: ``inference_fn`` (/root/reference/train_emage_audio.py:33-102 — generate
+motion for every unique test video, save BEAT npz, print the throughput line) feeding
+``evaluation_fn`` (:371-433 — FGD/BC/L1div/LVD/MSE over the saved npz). Used by
+``cli/evaluate.py`` (run once from a checkpoint) and by the train CLIs' periodic
+in-training test flow (train_emage_audio.py:320-329).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+
+def unique_test_clips(meta_paths) -> List[dict]:
+    """mode=="test" clips, deduplicated by video_id (the reference iterates whole
+    videos, not windows; train_emage_audio.py:378-384)."""
+    test_list = []
+    for p in meta_paths:
+        with open(p) as f:
+            test_list.extend(json.load(f))
+    test_list = [m for m in test_list if m.get("mode") == "test"]
+    seen = set()
+    out = []
+    for m in test_list:
+        if m["video_id"] not in seen:
+            seen.add(m["video_id"])
+            out.append(m)
+    return out
+
+
+def make_camn_generate(params, cfg) -> Callable:
+    """generate_fn for the CaMN/DisCo families: whole-sequence forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.camn import camn_forward
+
+    fwd = jax.jit(lambda p, a, s: camn_forward(p, cfg, a, s, cfg.seed_frames))
+
+    def generate(audio, speaker_id):
+        out = fwd(params, audio, speaker_id)
+        return {"motion": np.asarray(out["motion_axis_angle"])[0]}
+
+    return generate
+
+
+def make_disco_generate(params, cfg) -> Callable:
+    import jax
+
+    from ..models.disco import disco_forward
+
+    fwd = jax.jit(lambda p, a, s: disco_forward(p, cfg, a, s, cfg.seed_frames))
+
+    def generate(audio, speaker_id):
+        out = fwd(params, audio, speaker_id)
+        return {"motion": np.asarray(out["motion_axis_angle"])[0]}
+
+    return generate
+
+
+def make_emage_generate(params, cfg, suite) -> Callable:
+    """generate_fn for EMAGE: windowed AR inference + head routing + VQ decode with
+    global translation (test_emage_audio.py:16-53)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.emage import _select_decode_inputs, emage_inference
+    from ..models.emage_vq import vq_decode
+
+    decode = jax.jit(
+        lambda s, sel, rt: vq_decode(s, **sel, get_global_motion=True, ref_trans=rt)
+    )
+
+    def generate(audio, speaker_id):
+        latent = emage_inference(params, cfg, audio, speaker_id, suite)
+        sel = _select_decode_inputs(cfg, latent)
+        pred = decode(suite, sel, jnp.zeros((audio.shape[0], 3)))
+        t = pred["motion_axis_angle"].shape[1]
+        return {
+            "motion": np.asarray(pred["motion_axis_angle"]).reshape(t, -1),
+            "expressions": np.asarray(pred["expression"]).reshape(t, -1),
+            "trans": np.asarray(pred["trans"]).reshape(t, -1),
+        }
+
+    return generate
+
+
+def generate_test_npz(generate_fn: Callable, test_list: List[dict], save_folder: str,
+                      pose_fps: int, audio_sr: int = 16000) -> List[dict]:
+    """Generate motion for every test clip and save BEAT npz; prints the reference's
+    throughput line (test_emage_audio.py:105)."""
+    import jax.numpy as jnp
+
+    from ..data.audio import load_audio
+    from ..io.beat_format import beat_format_save
+
+    os.makedirs(save_folder, exist_ok=True)
+    save_list = []
+    total_frames = 0
+    t0 = time.time()
+    for meta in test_list:
+        wave = load_audio(meta["audio_path"], audio_sr)
+        audio = jnp.asarray(wave)[None]
+        speaker_id = jnp.zeros((1, 1), jnp.int32)
+        out = generate_fn(audio, speaker_id)
+        out_path = os.path.join(save_folder, f"{meta['video_id']}_output.npz")
+        beat_format_save(out_path, out["motion"], upsample=30 // pose_fps,
+                         expressions=out.get("expressions"),
+                         trans=out.get("trans"))
+        total_frames += out["motion"].shape[0]
+        save_list.append({"video_id": meta["video_id"], "motion_path": out_path})
+    print(f"cost {time.time() - t0:.2f}s to generate "
+          f"{total_frames / pose_fps:.2f}s of motion")
+    return save_list
+
+
+def run_test_pass(generate_fn: Callable, test_list: List[dict], save_folder: str,
+                  pose_fps: int, with_face: bool, audio_sr: int = 16000,
+                  download_path: str = "./emage_evaltools/") -> Dict[str, float]:
+    """Full generate -> npz -> metrics pass; returns the metric dict (also written
+    to ``<save_folder>/metrics.json``)."""
+    from .pipeline import evaluate_clips
+
+    save_list = generate_test_npz(generate_fn, test_list, save_folder, pose_fps,
+                                  audio_sr)
+
+    smplx_model = None
+    try:
+        from ..core.smplx import default_model_path, load_smplx
+
+        mp = default_model_path()
+        if mp:
+            smplx_model = load_smplx(mp)
+    except Exception as e:  # FK metrics are SMPL-X-gated; FGD still runs
+        print(f"SMPL-X unavailable ({e}); computing FGD only")
+
+    metrics = evaluate_clips(test_list, save_list, smplx_model=smplx_model,
+                             pose_fps=pose_fps, audio_sr=audio_sr,
+                             with_face=with_face, download_path=download_path)
+    with open(os.path.join(save_folder, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    return metrics
+
+
+__all__ = [
+    "generate_test_npz",
+    "make_camn_generate",
+    "make_disco_generate",
+    "make_emage_generate",
+    "run_test_pass",
+    "unique_test_clips",
+]

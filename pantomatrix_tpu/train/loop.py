@@ -7,6 +7,7 @@ loss meters, optional wandb.
 """
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, Optional
@@ -69,6 +70,11 @@ class Meters:
 class TrainLoopConfig:
     max_train_steps: int = 1000
     validation_steps: int = 500
+    # every test_steps, run the full test pass (generate -> npz -> metrics) on the
+    # main process and keep a `test_best/` HF checkpoint keyed on its FGD — the
+    # reference's per-test_steps rank-0 block (train_emage_audio.py:320-329,:491).
+    # 0 disables (also the effective default when no test_fn is supplied).
+    test_steps: int = 0
     log_period: int = 50
     ckpt_dir: str = "./outputs/ckpt"
     resume_from_checkpoint: Optional[str] = None
@@ -93,6 +99,7 @@ def run_training(
     model_config=None,
     log_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
     is_main_process: bool = True,
+    test_fn: Optional[Callable] = None,
 ):
     """Run ``step_fn(params, opt_state, batch, rng, iteration)`` to max_train_steps.
 
@@ -100,6 +107,10 @@ def run_training(
     validation_steps (on EVERY process — it may contain collectives); best/last
     checkpoints are written by the main process only (rank-0 parity,
     train_emage_audio.py:320,337).
+
+    test_fn(params, iteration) -> metric dict (lower-better "fgd" keys the
+    test_best/ checkpoint), called every ``test_steps`` on the MAIN process only
+    (the reference runs its full test pass rank-0, train_emage_audio.py:320).
     """
     iteration = 0
     if loop_cfg.resume_from_checkpoint:
@@ -155,6 +166,7 @@ def run_training(
     data_time = net_time = 0.0
     pending = []
     last_saved = -1
+    best_test = float("inf")
     stream = batch_stream()
     while iteration < loop_cfg.max_train_steps:
         # data time = how long the step loop actually blocks on the prefetch
@@ -203,6 +215,20 @@ def run_training(
                 last_saved = iteration
                 print(f"val @ {iteration}: metric={metric:.4f}"
                       + (" (new best)" if improved else ""))
+
+        if (test_fn is not None and loop_cfg.test_steps
+                and iteration % loop_cfg.test_steps == 0 and is_main_process):
+            tmetrics = test_fn(params, iteration)
+            msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(tmetrics.items()))
+            tmetric = float(tmetrics.get("fgd", float("inf")))
+            if tmetric < best_test:
+                best_test = tmetric
+                from ..io.hf_checkpoint import save_checkpoint
+
+                save_checkpoint(os.path.join(loop_cfg.ckpt_dir, "test_best"),
+                                params, model_config)
+                msg += " (new test best)"
+            print(f"test @ {iteration}: {msg}")
 
     if is_main_process and last_saved != iteration:
         # always persist the final params (inf metric never displaces the best)

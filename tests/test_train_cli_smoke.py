@@ -189,3 +189,94 @@ def test_emage_cli_on_reference_example(tmp_path):
     assert d["expressions"].shape == (t, 100)
     assert d["trans"].shape == (t, 3)
     assert np.isfinite(d["poses"]).all()
+
+
+def test_train_camn_periodic_test_flow(tmp_path, mini_beat2):
+    """--debug --evaluation: the in-training every-test_steps test pass runs on the
+    main process (generate -> npz -> metrics) and keeps a test_best/ HF checkpoint
+    (reference train_emage_audio.py:320-329,:491)."""
+    import json as _json
+
+    from pantomatrix_tpu.cli.train_camn import main
+
+    # test clips must exceed the 64-frame FGD window or the metric is nan (and
+    # test_best is never written) — build 80-frame test videos
+    rng = np.random.RandomState(7)
+    metas = []
+    for vid in ("2_b_0_1_1", "2_b_0_2_2"):
+        n = 80
+        np.savez(
+            tmp_path / f"{vid}.npz",
+            betas=np.zeros(300, np.float32),
+            poses=rng.uniform(-0.5, 0.5, (n, 165)).astype(np.float32),
+            expressions=rng.uniform(-1, 1, (n, 100)).astype(np.float32),
+            trans=rng.uniform(-1, 1, (n, 3)).astype(np.float32),
+            model="smplx2020", gender="neutral", mocap_frame_rate=30,
+        )
+        wav = rng.uniform(-0.3, 0.3, n * 16000 // 30).astype(np.float32)
+        write_wav(tmp_path / f"{vid}.wav", wav, 16000)
+        metas.append({
+            "video_id": vid, "mode": "test",
+            "motion_path": str(tmp_path / f"{vid}.npz"),
+            "audio_path": str(tmp_path / f"{vid}.wav"),
+            "start_idx": 0, "end_idx": 64,
+        })
+    meta_test = str(tmp_path / "meta_test.json")
+    open(meta_test, "w").write(_json.dumps(metas))
+
+    argv = [
+        "prog", "--debug", "--evaluation",
+        f"data.meta_paths=['{mini_beat2}']",
+        f"data.test_meta_paths=['{meta_test}']",
+        "data.train_bs=2",
+        f"output_dir={tmp_path}",
+        "log_period=1",
+        "model.hidden_size=32", "model.n_layer=1", "model.dropout_prob=0.0",
+    ]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        main()
+    finally:
+        sys.argv = old
+    exps = [e for e in os.listdir(tmp_path) if e.startswith("camn")]
+    assert exps
+    exp = os.path.join(tmp_path, exps[0])
+    # debug: test_steps=2, max 4 steps -> passes at iterations 2 and 4
+    for it in (2, 4):
+        mfile = os.path.join(exp, f"test_{it}", "metrics.json")
+        assert os.path.exists(mfile), f"missing {mfile}"
+        assert "fgd" in _json.load(open(mfile))
+    assert os.path.exists(os.path.join(exp, "ckpt", "test_best", "model.safetensors"))
+
+
+def test_train_camn_test_once_mode(tmp_path, mini_beat2):
+    """--test: run the test pass once and exit without training (no last.bin)."""
+    import json as _json
+
+    from pantomatrix_tpu.cli.train_camn import main
+
+    metas = _json.load(open(mini_beat2))
+    for m in metas:
+        m["mode"] = "test"
+    meta_test = str(tmp_path / "meta_test.json")
+    open(meta_test, "w").write(_json.dumps(metas))
+
+    argv = [
+        "prog", "--debug", "--test",
+        f"data.meta_paths=['{mini_beat2}']",
+        f"data.test_meta_paths=['{meta_test}']",
+        "data.train_bs=2",
+        f"output_dir={tmp_path}",
+        "model.hidden_size=32", "model.n_layer=1", "model.dropout_prob=0.0",
+    ]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        main()
+    finally:
+        sys.argv = old
+    exps = [e for e in os.listdir(tmp_path) if e.startswith("camn")]
+    exp = os.path.join(tmp_path, exps[0])
+    assert os.path.exists(os.path.join(exp, "test_0", "metrics.json"))
+    assert not os.path.exists(os.path.join(exp, "ckpt", "last.bin"))
