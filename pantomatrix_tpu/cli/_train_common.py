@@ -72,10 +72,13 @@ def build_test_fn(cfg, make_generate, pose_fps: int, with_face: bool = False):
         print("no mode=='test' clips in data.test_meta_paths; test pass disabled")
         return None
 
+    viz = 1 if cfg.validation.get("visualization") else 0
+
     def test_fn(params, iteration):
         folder = os.path.join(cfg.output_dir, f"test_{iteration}")
         return run_test_pass(make_generate(params), test_list, folder,
-                             pose_fps=pose_fps, with_face=with_face)
+                             pose_fps=pose_fps, with_face=with_face,
+                             visualize=viz)
 
     return test_fn
 

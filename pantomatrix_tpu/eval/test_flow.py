@@ -122,13 +122,30 @@ def generate_test_npz(generate_fn: Callable, test_list: List[dict], save_folder:
 
 def run_test_pass(generate_fn: Callable, test_list: List[dict], save_folder: str,
                   pose_fps: int, with_face: bool, audio_sr: int = 16000,
-                  download_path: str = "./emage_evaltools/") -> Dict[str, float]:
+                  download_path: str = "./emage_evaltools/",
+                  visualize: int = 0) -> Dict[str, float]:
     """Full generate -> npz -> metrics pass; returns the metric dict (also written
-    to ``<save_folder>/metrics.json``)."""
+    to ``<save_folder>/metrics.json``).
+
+    visualize: render the first N generated clips as 2D skeleton videos
+    (the reference's visualization_fn, train_emage_audio.py:435-471; SMPL-X-gated —
+    skipped with a message when the model archive is absent)."""
     from .pipeline import evaluate_clips
 
     save_list = generate_test_npz(generate_fn, test_list, save_folder, pose_fps,
                                   audio_sr)
+
+    for pred in save_list[:visualize]:
+        try:
+            from ..viz.render2d import render2d
+
+            motion_dict = dict(np.load(pred["motion_path"], allow_pickle=True))
+            render2d(motion_dict,
+                     pred["motion_path"].replace(".npz", "_2dbody.mp4"),
+                     face_only=False, remove_global=True)
+        except FileNotFoundError as e:
+            print(f"visualization skipped ({e})")
+            break
 
     smplx_model = None
     try:

@@ -16,6 +16,7 @@ bias_ih_l{k}, bias_hh_l{k}. Inter-layer dropout (not after the last layer) match
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict
 
@@ -48,6 +49,39 @@ def _lstm_direction(x_proj: jnp.ndarray, w_hh: jnp.ndarray, hidden: int) -> jnp.
     return hs  # (T, B, H)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _lstm_direction_pallas(x_proj, w_hh, hidden):
+    """Fused Pallas sequence kernel (ops/lstm_pallas.py; opt-in — see the measured
+    verdict there) with the scan as the gradient path: the backward recomputes via
+    jax.vjp of the scan, so training gradients are exactly the scan's."""
+    from ..ops.lstm_pallas import lstm_sequence_pallas
+
+    return lstm_sequence_pallas(x_proj, w_hh, hidden)
+
+
+def _lstm_direction_pallas_fwd(x_proj, w_hh, hidden):
+    from ..ops.lstm_pallas import lstm_sequence_pallas
+
+    return lstm_sequence_pallas(x_proj, w_hh, hidden), (x_proj, w_hh)
+
+
+def _lstm_direction_pallas_bwd(hidden, res, g):
+    x_proj, w_hh = res
+    _, vjp = jax.vjp(lambda xp, w: _lstm_direction(xp, w, hidden), x_proj, w_hh)
+    return vjp(g)
+
+
+_lstm_direction_pallas.defvjp(_lstm_direction_pallas_fwd, _lstm_direction_pallas_bwd)
+
+
+def _lstm_direction_dispatch(x_proj, w_hh, hidden):
+    from ..ops.lstm_pallas import lstm_pallas_available
+
+    if x_proj.dtype == jnp.float32 and lstm_pallas_available():
+        return _lstm_direction_pallas(x_proj, w_hh, hidden)
+    return _lstm_direction(x_proj, w_hh, hidden)
+
+
 def lstm(
     p: Params,
     x: jnp.ndarray,
@@ -67,7 +101,7 @@ def lstm(
             b = p[f"bias_ih_l{layer}{suffix}"] + p[f"bias_hh_l{layer}{suffix}"]
             seq = y[::-1] if reverse else y
             x_proj = seq @ w_ih.T + b  # (T, B, 4H): one big MXU matmul
-            hs = _lstm_direction(x_proj, w_hh, hidden_size)
+            hs = _lstm_direction_dispatch(x_proj, w_hh, hidden_size)
             outs.append(hs[::-1] if reverse else hs)
         y = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
         if layer < num_layers - 1 and dropout_rate > 0:

@@ -225,7 +225,7 @@ def test_train_camn_periodic_test_flow(tmp_path, mini_beat2):
     open(meta_test, "w").write(_json.dumps(metas))
 
     argv = [
-        "prog", "--debug", "--evaluation",
+        "prog", "--debug", "--evaluation", "--visualization",
         f"data.meta_paths=['{mini_beat2}']",
         f"data.test_meta_paths=['{meta_test}']",
         "data.train_bs=2",
