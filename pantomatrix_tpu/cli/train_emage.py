@@ -91,6 +91,7 @@ def main():
         model_cfg, suite, optimizer, mesh,
         mask_schedule=cfg.get("mask_schedule", "reference"),
         gradient_checkpointing=bool(cfg.solver.get("gradient_checkpointing", False)),
+        share_audio_encoder=bool(cfg.solver.get("share_audio_encoder", True)),
     )
     opt_state = init_opt_state(optimizer, params)
     params = replicate(params, mesh)

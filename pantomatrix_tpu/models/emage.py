@@ -65,11 +65,18 @@ def emage_forward(
     mask: jnp.ndarray,
     use_audio: bool = True,
     ctx: Ctx = EVAL,
+    audio_features=None,
 ) -> Dict[str, jnp.ndarray]:
     """One masked-transformer pass over a (bs, t, 337) window.
 
     Returns per-part continuous latents ``rec_*`` (bs, t, 256) and codebook logits
     ``cls_*`` (bs, t, 256).
+
+    audio_features: optional precomputed ``(audio2face_fea, audio2body_fea)`` —
+    the WavEncoder outputs depend only on the raw audio, so a multi-pass caller
+    (the 3-pass training objective, train/steps.py) can compute them once and
+    share them across passes; gradients through the shared subgraph sum over the
+    passes, which is mathematically identical to recomputing per pass.
     """
     h = cfg.hidden_size
     pe = params["position_embeddings"]["pe"]
@@ -82,12 +89,17 @@ def emage_forward(
     body_hint_body = mlp(params["bodyhints_body"], body_hint)
     body_hint_face = mlp(params["bodyhints_face"], body_hint)
 
-    audio2face_fea = wav_encoder(
-        params["audio_encoder_face"], audio, cfg.audio_f, "emage", ctx, ("audio_encoder_face",)
-    )
-    audio2body_fea = wav_encoder(
-        params["audio_encoder_body"], audio, cfg.audio_f, "emage", ctx, ("audio_encoder_body",)
-    )
+    if audio_features is None:
+        audio2face_fea = wav_encoder(
+            params["audio_encoder_face"], audio, cfg.audio_f, "emage", ctx,
+            ("audio_encoder_face",)
+        )
+        audio2body_fea = wav_encoder(
+            params["audio_encoder_body"], audio, cfg.audio_f, "emage", ctx,
+            ("audio_encoder_body",)
+        )
+    else:
+        audio2face_fea, audio2body_fea = audio_features
 
     t_hint = body_hint_face.shape[1]
     # Reference quirk (:278-281): BOTH branches truncate audio2face_fea; the body

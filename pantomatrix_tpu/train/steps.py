@@ -98,6 +98,36 @@ def _train_ctx(rng, axis_name):
     return Ctx(train=True, rng=rng, axis_name=axis_name, bn_updates={})
 
 
+def _leaf_at(params, path):
+    node = params
+    for key in path:
+        node = node[key]
+    return node
+
+
+def _amplify_bn_updates(params, updates, k: int, momentum: float = 0.1):
+    """Turn one same-batch BN running-stat update into the state after ``k``
+    identical updates: r_k = r_0 + (r_1 - r_0) * (1 - (1-m)^k) / m.
+
+    The reference's k-pass objective re-runs the audio encoders on IDENTICAL input
+    every pass, so their batch stats are identical and the k sequential lerps
+    collapse to this closed form — computing the encoder once reproduces the
+    reference's exact buffer trajectory (momentum 0.1 = nn/layers.py
+    batch_norm1d default, the torch default the reference uses)."""
+    factor = (1.0 - (1.0 - momentum) ** k) / momentum
+    out = {}
+    for path, u in updates.items():
+        p0 = _leaf_at(params, path)
+        out[path] = {
+            "running_mean": p0["running_mean"]
+            + factor * (u["running_mean"] - p0["running_mean"]),
+            "running_var": p0["running_var"]
+            + factor * (u["running_var"] - p0["running_var"]),
+            "num_batches_tracked": u["num_batches_tracked"] + (k - 1),
+        }
+    return out
+
+
 def make_emage_train_step(
     cfg: EmageAudioConfig,
     suite: EmageVQSuite,
@@ -107,20 +137,30 @@ def make_emage_train_step(
     mask_schedule: str = "reference",
     spmd: str = "pjit",
     gradient_checkpointing: bool = False,
+    share_audio_encoder: bool = True,
 ) -> Callable:
     """EMAGE 3-pass masked objective against frozen VQ targets
     (train_emage_audio.py:130-183). ``gradient_checkpointing`` remats each forward
     pass (solver.gradient_checkpointing parity) — trades ~1/3 more FLOPs for
-    activation memory, raising the max batch per chip."""
+    activation memory, raising the max batch per chip.
+
+    share_audio_encoder: run the two WavEncoders ONCE per step instead of once per
+    pass. Their input (raw audio) is identical in all three passes — even pass 3's
+    use_audio=False still runs them in the reference (only the body cross-attn
+    output is zeroed, modeling_emage_audio.py:308-310) — so the shared features +
+    summed cotangents equal the reference's per-pass recompute exactly, and the BN
+    running stats follow the reference's 3-update trajectory via the closed form
+    in ``_amplify_bn_updates`` (equivalence test: tests/test_train_steps.py)."""
 
     ctx_axis = axis_name if spmd == "shard_map" else None
 
-    def _fwd_with_bn(params, audio, speaker_id, masked_motion, mask, use_audio, rng):
+    def _fwd_with_bn(params, audio, speaker_id, masked_motion, mask, use_audio, rng,
+                     audio_features=None):
         # returns BN updates as outputs (a side-channel dict would leak tracers out
         # of the remat scope when gradient_checkpointing is on)
         ctx = _train_ctx(rng, ctx_axis)
         out = emage_forward(params, cfg, audio, speaker_id, masked_motion, mask,
-                            use_audio, ctx)
+                            use_audio, ctx, audio_features=audio_features)
         return out, ctx.bn_updates
 
     fwd = (
@@ -153,10 +193,24 @@ def make_emage_train_step(
         c = dict(cu=cfg.cu, cl=cfg.cl, ch=cfg.ch, cf=cfg.cf)
         losses = {}
 
+        audio_features = None
+        bn_audio = None
+        if share_audio_encoder:
+            from ..nn.blocks import wav_encoder
+
+            actx = _train_ctx(jax.random.fold_in(r_drop, 0), ctx_axis)
+            audio_features = (
+                wav_encoder(params["audio_encoder_face"], batch["audio"],
+                            cfg.audio_f, "emage", actx, ("audio_encoder_face",)),
+                wav_encoder(params["audio_encoder_body"], batch["audio"],
+                            cfg.audio_f, "emage", actx, ("audio_encoder_body",)),
+            )
+            bn_audio = _amplify_bn_updates(params, actx.bn_updates, 3)
+
         # pass 1: seed mask (first seed_frames unmasked), audio on
         mask1 = jnp.ones_like(masked_motion).at[:, : cfg.seed_frames].set(0.0)
         pred1, bn1 = fwd(params, batch["audio"], speaker_id, masked_motion, mask1,
-                         True, jax.random.fold_in(r_drop, 1))
+                         True, jax.random.fold_in(r_drop, 1), audio_features)
         losses["rec_seed"] = rec_loss(pred1, target_lat, **w)
         losses["cls_seed"] = cls_loss(pred1, target_idx, **c)
 
@@ -168,20 +222,23 @@ def make_emage_train_step(
         )
         params2 = apply_bn_updates(params, bn1)
         pred2, bn2 = fwd(params2, batch["audio"], speaker_id, masked_motion, mask2,
-                         True, jax.random.fold_in(r_drop, 2))
+                         True, jax.random.fold_in(r_drop, 2), audio_features)
         losses["rec_audio"] = rec_loss(pred2, target_lat, **w)
         losses["cls_audio"] = cls_loss(pred2, target_idx, **c)
 
         # pass 3: same mask, audio off
         params3 = apply_bn_updates(params2, bn2)
         pred3, bn3 = fwd(params3, batch["audio"], speaker_id, masked_motion, mask2,
-                         False, jax.random.fold_in(r_drop, 3))
+                         False, jax.random.fold_in(r_drop, 3), audio_features)
         losses["rec_mask"] = rec_loss(pred3, target_lat, **w)
         losses["cls_mask"] = cls_loss(pred3, target_idx, **c)
 
         all_loss = sum(losses.values())
         losses["all"] = all_loss
-        _, new_buffers = partition_params(apply_bn_updates(params3, bn3))
+        final = apply_bn_updates(params3, bn3)
+        if bn_audio is not None:
+            final = apply_bn_updates(final, bn_audio)
+        _, new_buffers = partition_params(final)
         return all_loss, (losses, new_buffers)
 
     return _make_step(loss_fn, optimizer, mesh, axis_name, with_iteration=True, spmd=spmd)

@@ -469,3 +469,48 @@ def test_run_training_fused_dispatch_matches_sequential(tmp_path):
         assert loader.seen[:6] == [0, 1, 2, 10, 11, 12], loader.seen
         orders.append(loader.seen[:6])
     assert orders[0] == orders[1]
+
+
+def test_emage_shared_audio_encoder_matches_per_pass():
+    """share_audio_encoder=True computes the WavEncoders once per step; losses,
+    updated params, and the BN running-stat trajectory (closed-form 3x update)
+    must match the per-pass recompute."""
+    import optax
+
+    rng = np.random.RandomState(11)
+    bs, t = 4, FRAMES
+    batch = {
+        "motion": jnp.asarray(rng.uniform(-0.5, 0.5, (bs, t, 165)).astype(np.float32)),
+        "audio": jnp.asarray(rng.uniform(-1, 1, (bs, t * 533)).astype(np.float32)),
+        "expressions": jnp.asarray(rng.uniform(-1, 1, (bs, t, 100)).astype(np.float32)),
+        "trans": jnp.asarray(rng.uniform(-1, 1, (bs, t, 3)).astype(np.float32)),
+        "foot_contact": jnp.asarray((rng.uniform(size=(bs, t, 4)) < 0.5).astype(np.float32)),
+    }
+    params = init_emage(jax.random.PRNGKey(12), EMAGE_CFG)
+    suite = tiny_suite(jax.random.PRNGKey(13))
+    mesh = make_mesh(1)
+    opt = optax.sgd(0.05)  # SGD: see test_multi_step_matches_sequential
+
+    results = []
+    for share in (False, True):
+        step = make_emage_train_step(EMAGE_CFG, suite, opt, mesh,
+                                     share_audio_encoder=share)
+        p = jax.tree_util.tree_map(jnp.array, params)
+        o = init_opt_state(opt, p)
+        p, o, losses = step(p, o, dict(batch), jax.random.PRNGKey(14), jnp.zeros(()))
+        results.append((p, {k: float(v) for k, v in losses.items()}))
+
+    (p_ref, l_ref), (p_sh, l_sh) = results
+    for k in l_ref:
+        np.testing.assert_allclose(l_sh[k], l_ref[k], rtol=1e-5, err_msg=k)
+    for (k1, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p_ref),
+        jax.tree_util.tree_leaves_with_path(p_sh),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5,
+            err_msg=jax.tree_util.keystr(k1),
+        )
+    # the 3-update trajectory is reproduced, not skipped
+    nbt = p_sh["audio_encoder_body"]["feat_extractor"]["0"]["bn1"]["num_batches_tracked"]
+    assert int(nbt) == 3
