@@ -161,10 +161,12 @@ class EmageAudioModel(PretrainedModel):
         )
 
     def inference(self, audio, speaker_id, vq_model: EmageVQModel,
-                  masked_motion=None, mask=None, compute_dtype=None):
+                  masked_motion=None, mask=None, compute_dtype=None,
+                  batched_wav=False):
         return _emage.emage_inference(
             self.params, self.config, audio, speaker_id, vq_model.suite,
             masked_motion, mask, compute_dtype=compute_dtype,
+            batched_wav=batched_wav,
         )
 
 

@@ -55,6 +55,11 @@ from .emage_vq import EmageVQSuite, vq_decode
 
 SAMPLES_PER_FRAME = 16000 // 30  # == 533, the reference's exact mapping
 
+# max rounds*batch for the OPT-IN pre-scan batched WavEncoder in _inference_impl
+# (memory gate; see the comment there). 512 window-rows ≈ 2.7 GB of stage-1 conv
+# activations — comfortably transient on a 16 GB chip.
+_BATCHED_WAV_MAX = 512
+
 
 def emage_forward(
     params: Params,
@@ -220,10 +225,12 @@ def _select_decode_inputs(cfg: EmageAudioConfig, net_out):
 
 
 def _window_step(params, cfg: EmageAudioConfig, suite: EmageVQSuite,
-                 audio_slice, speaker_id, window_motion, window_mask):
+                 audio_slice, speaker_id, window_motion, window_mask,
+                 audio_features=None):
     """forward + head routing + VQ decode of the seed tail — one jit unit per window."""
     net_out = emage_forward(params, cfg, audio_slice, speaker_id, window_motion,
-                            window_mask, use_audio=True)
+                            window_mask, use_audio=True,
+                            audio_features=audio_features)
     sel = _select_decode_inputs(cfg, net_out)
     decode = vq_decode(suite, **sel)
     last_motion = decode["all_motion4inference"][:, -cfg.seed_frames :, :]
@@ -235,7 +242,8 @@ def _window_step(params, cfg: EmageAudioConfig, suite: EmageVQSuite,
 
 def _inference_impl(params, cfg: EmageAudioConfig, suite: EmageVQSuite, audio,
                     speaker_id, masked_motion, mask, rounds: int, remain: int,
-                    compute_dtype: Optional[str] = None):
+                    compute_dtype: Optional[str] = None,
+                    batched_wav: bool = False):
     """Whole AR generation as ONE device program: lax.scan over the full windows
     (the seed dependency makes rounds sequential, but all dispatch stays on device)
     plus an unrolled remainder window. Numerically identical to the reference's
@@ -245,6 +253,13 @@ def _inference_impl(params, cfg: EmageAudioConfig, suite: EmageVQSuite, audio,
     params and activations are cast once (outside the scan) and the transformer runs
     in that dtype; the VQ suite, reductions (LayerNorm/softmax/BN scale), and the
     decoded outputs stay float32 (see utils/precision.py). None = float32 parity mode.
+
+    batched_wav: opt-in serving mode — encode all full windows' audio as one
+    batched WavEncoder call before the scan (~20% faster at small batches,
+    PROFILE.md). Same math and slices, but the TPU conv accumulates in a different
+    order when batched, and the AR loop's codebook argmax amplifies that fp noise
+    discretely (measured corr 0.992 vs the parity path at bs8 x 60 s) — same class
+    of deviation as compute_dtype="bfloat16", hence opt-in, not default.
     """
     if compute_dtype is not None:
         from ..utils.precision import cast_floating
@@ -256,8 +271,9 @@ def _inference_impl(params, cfg: EmageAudioConfig, suite: EmageVQSuite, audio,
         mask = mask.astype(dt)
     window, pre = cfg.pose_length, cfg.seed_frames
     stride = window - pre
+    bs = audio.shape[0]
 
-    def one_window(last_motion, start, size):
+    def one_window(last_motion, start, size, audio_features=None):
         wmask = jax.lax.dynamic_slice_in_dim(mask, start, size, axis=1)
         wmotion = jax.lax.dynamic_slice_in_dim(masked_motion, start, size, axis=1)
         seed_src = jax.lax.dynamic_slice_in_dim(masked_motion, start, pre, axis=1)
@@ -267,10 +283,37 @@ def _inference_impl(params, cfg: EmageAudioConfig, suite: EmageVQSuite, audio,
         audio_slice = jax.lax.dynamic_slice_in_dim(
             audio, start * SAMPLES_PER_FRAME, size * SAMPLES_PER_FRAME, axis=1
         )
-        return _window_step(params, cfg, suite, audio_slice, speaker_id, wmotion, wmask)
+        return _window_step(params, cfg, suite, audio_slice, speaker_id, wmotion,
+                            wmask, audio_features)
+
+    # The WavEncoder features depend only on the audio, not the AR state, so the
+    # full windows' audio can be encoded as ONE batched conv over (rounds*bs)
+    # windows BEFORE the scan instead of rounds sequential calls inside it — much
+    # better MXU utilization at small serving batches (see the docstring for why
+    # this is opt-in). Gated on rounds*bs: the batched conv's stage-1 activations
+    # are ~5.3 MB per window-row, so large throughput batches stay on the in-scan
+    # path rather than materializing multi-GB intermediates.
+    feats = None
+    if batched_wav and 0 < rounds * bs <= _BATCHED_WAV_MAX:
+        from ..nn.blocks import wav_encoder
+
+        starts = jnp.arange(rounds) * (stride * SAMPLES_PER_FRAME)
+        win_audio = jax.vmap(
+            lambda s: jax.lax.dynamic_slice_in_dim(
+                audio, s, window * SAMPLES_PER_FRAME, axis=1
+            )
+        )(starts)  # (rounds, bs, window samples)
+        flat = win_audio.reshape(rounds * bs, window * SAMPLES_PER_FRAME)
+        a2f = wav_encoder(params["audio_encoder_face"], flat, cfg.audio_f, "emage",
+                          EVAL, ("audio_encoder_face",))
+        a2b = wav_encoder(params["audio_encoder_body"], flat, cfg.audio_f, "emage",
+                          EVAL, ("audio_encoder_body",))
+        t_f = a2f.shape[1]
+        feats = (a2f.reshape(rounds, bs, t_f, -1), a2b.reshape(rounds, bs, t_f, -1))
 
     def body(last_motion, i):
-        net_out, last = one_window(last_motion, i * stride, window)
+        af = None if feats is None else (feats[0][i], feats[1][i])
+        net_out, last = one_window(last_motion, i * stride, window, af)
         cropped = {k: v[:, :-pre] for k, v in net_out.items()}
         return last, cropped
 
@@ -289,10 +332,11 @@ def _inference_impl(params, cfg: EmageAudioConfig, suite: EmageVQSuite, audio,
 
 
 # params and suite are pytrees (EmageVQSuite is registered); cfg/rounds/remain/
-# compute_dtype are static: every audio length maps to one compiled whole-sequence
-# program, and all lengths share the scanned window body.
+# compute_dtype/batched_wav are static: every audio length maps to one compiled
+# whole-sequence program, and all lengths share the scanned window body.
 _inference_jit = jax.jit(
-    _inference_impl, static_argnames=("cfg", "rounds", "remain", "compute_dtype")
+    _inference_impl,
+    static_argnames=("cfg", "rounds", "remain", "compute_dtype", "batched_wav"),
 )
 
 
@@ -305,6 +349,7 @@ def emage_inference(
     masked_motion: Optional[jnp.ndarray] = None,
     mask: Optional[jnp.ndarray] = None,
     compute_dtype: Optional[str] = None,
+    batched_wav: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Sliding-window autoregressive generation (:343-490).
 
@@ -312,14 +357,15 @@ def emage_inference(
     the next window's unmasked slots; outputs are concatenated minus the overlap, plus a
     remainder window when ``remain > seed_frames``.
 
-    compute_dtype="bfloat16" selects the low-precision serving mode (see
-    ``_inference_impl``); default float32 is the reference-parity path.
+    compute_dtype="bfloat16" and batched_wav=True select serving modes (see
+    ``_inference_impl``); the defaults are the reference-parity path.
     """
     masked_motion, mask, rounds, remain = prepare_ar_inputs(
         cfg, audio, masked_motion, mask
     )
     return _inference_jit(params, cfg, suite, audio, speaker_id, masked_motion, mask,
-                          rounds=rounds, remain=remain, compute_dtype=compute_dtype)
+                          rounds=rounds, remain=remain, compute_dtype=compute_dtype,
+                          batched_wav=batched_wav)
 
 
 def prepare_ar_inputs(cfg: EmageAudioConfig, audio: jnp.ndarray,

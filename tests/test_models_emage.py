@@ -325,3 +325,36 @@ def test_emage_forward_train_mode_parity(suite_pair):
         assert corr > 0.995, (k, corr)
         assert np.abs(a - b).max() < 0.3, (k, np.abs(a - b).max())
     assert ctx.bn_updates  # running-stat updates were collected
+
+
+def test_emage_inference_batched_wav_matches_in_scan(suite_pair, monkeypatch):
+    """The pre-scan batched WavEncoder path (_BATCHED_WAV_MAX gate) and the in-scan
+    path produce identical outputs — same per-window slices, padding, eval-mode BN;
+    only the batching of the conv changes."""
+    import pantomatrix_tpu.models.emage as E
+
+    models, suite = suite_pair
+    torch.manual_seed(23)
+    oracle = TorchEmage(ECFG).eval()
+    params = jax.tree_util.tree_map(jnp.asarray, to_pytree(oracle))
+    frames = 23
+    audio = _window_audio(frames)
+    spk = np.array([[1], [2]])
+
+    out_batched = emage_inference(params, ECFG, jnp.asarray(audio),
+                                  jnp.asarray(spk), suite, batched_wav=True)
+    out_scan = emage_inference(params, ECFG, jnp.asarray(audio),
+                               jnp.asarray(spk), suite)
+    for k in out_batched:
+        np.testing.assert_allclose(np.asarray(out_batched[k]), np.asarray(out_scan[k]),
+                                   atol=1e-6, err_msg=k)
+    # prove the two programs really differ (a cached trace would compare a program
+    # to itself): the batched_wav path hoists the WavEncoder out of the scan
+    mm, mk, rounds, remain = E.prepare_ar_inputs(ECFG, jnp.asarray(audio))
+    txts = []
+    for bw in (False, True):
+        txts.append(jax.jit(
+            lambda p, s, a, sp, m, k, _bw=bw: E._inference_impl(
+                p, ECFG, s, a, sp, m, k, rounds, remain, batched_wav=_bw)
+        ).lower(params, suite, jnp.asarray(audio), jnp.asarray(spk), mm, mk).as_text())
+    assert txts[0] != txts[1]
