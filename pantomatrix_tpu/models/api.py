@@ -8,7 +8,6 @@ straight into jit/pjit.
 """
 from __future__ import annotations
 
-import os
 from typing import Any, Dict, Optional, Type
 
 import jax
