@@ -34,12 +34,26 @@ def unique_test_clips(meta_paths) -> List[dict]:
     return out
 
 
+def _local_params(params):
+    """Pull params to host numpy: test passes run on the MAIN process only
+    (rank-0 parity), but under multi-process training the live params are global
+    arrays over the full mesh — a single process may not dispatch on them. The
+    trees are replicated, so every leaf is fully addressable and np.asarray is
+    legal; the re-jit then runs on local devices only."""
+    import numpy as _np
+
+    import jax as _jax
+
+    return _jax.tree_util.tree_map(lambda x: _np.asarray(x), params)
+
+
 def make_camn_generate(params, cfg) -> Callable:
     """generate_fn for the CaMN/DisCo families: whole-sequence forward."""
     import jax
-    import jax.numpy as jnp
 
     from ..models.camn import camn_forward
+
+    params = _local_params(params)
 
     fwd = jax.jit(lambda p, a, s: camn_forward(p, cfg, a, s, cfg.seed_frames))
 
@@ -54,6 +68,8 @@ def make_disco_generate(params, cfg) -> Callable:
     import jax
 
     from ..models.disco import disco_forward
+
+    params = _local_params(params)
 
     fwd = jax.jit(lambda p, a, s: disco_forward(p, cfg, a, s, cfg.seed_frames))
 
@@ -73,6 +89,7 @@ def make_emage_generate(params, cfg, suite) -> Callable:
     from ..models.emage import _select_decode_inputs, emage_inference
     from ..models.emage_vq import vq_decode
 
+    params = _local_params(params)
     decode = jax.jit(
         lambda s, sel, rt: vq_decode(s, **sel, get_global_motion=True, ref_trans=rt)
     )

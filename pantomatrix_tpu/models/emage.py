@@ -177,13 +177,17 @@ def emage_forward(
         part_latent[0] + part_latent[2],
         part_latent[0] + part_latent[1],
     ])
-    if ctx.train and ctx.rng is not None:
-        keys = jax.random.split(ctx.next_rng(), 3)
-    else:
-        keys = jnp.zeros((3, 2), jnp.uint32)
+    if ctx.train and ctx.rng is None and cfg.dropout_prob > 0:
+        # preserve the loud contract ctx.next_rng() used to enforce here — a
+        # silent all-zeros key would apply the same deterministic dropout mask
+        # to all three parts every step
+        raise ValueError("Ctx.rng is required for dropout in train mode")
+    has_rng = ctx.train and ctx.rng is not None
+    keys = (jax.random.split(ctx.next_rng(), 3) if has_rng
+            else jnp.zeros((3, 2), jnp.uint32))
 
     def refine(p, tgt, mem, key):
-        lctx = Ctx(train=ctx.train, rng=key if ctx.train else None,
+        lctx = Ctx(train=ctx.train, rng=key if has_rng else None,
                    axis_name=ctx.axis_name)
         return transformer_decoder(p, tgt, mem, num_layers=1, num_heads=4,
                                    ctx=lctx, dropout_rate=cfg.dropout_prob)

@@ -52,9 +52,9 @@ def save_train_state(path: str, params, opt_state, iteration: int,
 
 def load_train_state(path: str, params_template=None, opt_state_template=None
                      ) -> Tuple[Any, Any, int, Dict[str, Any]]:
-    """Restore (params, opt_state, iteration, extra). Templates supply the pytree
-    structures (shape-checked); without them, params come back as a flat
-    {index: array} dict and opt_state cannot be reconstructed."""
+    """Restore (params, opt_state, iteration, extra). The templates are REQUIRED:
+    they supply the pytree structures (orbax-style restore-with-target,
+    shape-checked) — pass the freshly initialized state the caller already holds."""
     from safetensors import safe_open
 
     flat = load_file(path)
@@ -81,17 +81,19 @@ class BestKeeper:
         self.best = float("inf")
         os.makedirs(ckpt_dir, exist_ok=True)
 
-    def update(self, metric: float, params, opt_state, iteration: int) -> bool:
+    def update(self, metric: float, params, opt_state, iteration: int,
+               extra: Optional[Dict[str, Any]] = None) -> bool:
         from ..io.hf_checkpoint import save_checkpoint
 
+        meta = {"metric": metric, **(extra or {})}
         save_train_state(os.path.join(self.ckpt_dir, "last.bin"), params, opt_state,
-                         iteration, {"metric": metric})
+                         iteration, meta)
         save_checkpoint(os.path.join(self.ckpt_dir, "last"), params, self.config)
         improved = metric < self.best
         if improved:
             self.best = metric
             save_train_state(os.path.join(self.ckpt_dir, "best.bin"), params,
-                             opt_state, iteration, {"metric": metric})
+                             opt_state, iteration, meta)
             save_checkpoint(os.path.join(self.ckpt_dir, "best"), params, self.config)
         return improved
 

@@ -113,11 +113,15 @@ def run_training(
     (the reference runs its full test pass rank-0, train_emage_audio.py:320).
     """
     iteration = 0
+    best_test = float("inf")
     if loop_cfg.resume_from_checkpoint:
-        params, opt_state, iteration, _ = load_train_state(
+        params, opt_state, iteration, extra = load_train_state(
             loop_cfg.resume_from_checkpoint,
             params_template=params, opt_state_template=opt_state,
         )
+        # without this the first post-resume test pass would displace test_best/
+        # with arbitrarily worse weights (anything beats a fresh inf)
+        best_test = float(extra.get("best_test", float("inf")))
         print(f"resumed from {loop_cfg.resume_from_checkpoint} at step {iteration}")
 
     if len(train_loader) == 0:
@@ -137,7 +141,10 @@ def run_training(
     if k > 1:
         from .steps import make_multi_step
 
-        for name in ("log_period", "validation_steps", "max_train_steps"):
+        checked = ["log_period", "validation_steps", "max_train_steps"]
+        if loop_cfg.test_steps:
+            checked.append("test_steps")
+        for name in checked:
             if getattr(loop_cfg, name) % k:
                 raise ValueError(
                     f"steps_per_dispatch={k} must divide {name}="
@@ -151,6 +158,11 @@ def run_training(
                 "boundaries, which are)"
             )
         multi_fn = make_multi_step(step_fn, k)
+        # one device call per chunk: eager per-leaf jnp.stack would pay the
+        # tunneled platform's per-op dispatch cost times the leaf count
+        stack_fn = jax.jit(
+            lambda *c: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *c)
+        )
 
     def batch_stream():
         nonlocal epoch, skip
@@ -166,7 +178,6 @@ def run_training(
     data_time = net_time = 0.0
     pending = []
     last_saved = -1
-    best_test = float("inf")
     stream = batch_stream()
     while iteration < loop_cfg.max_train_steps:
         # data time = how long the step loop actually blocks on the prefetch
@@ -174,7 +185,7 @@ def run_training(
         t0 = time.time()
         if multi_fn is not None:
             chunk = [next(stream) for _ in range(k)]
-            batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *chunk)
+            batch = stack_fn(*chunk)
         else:
             batch = next(stream)
         data_time += time.time() - t0
@@ -211,7 +222,8 @@ def run_training(
         if val_fn is not None and iteration % loop_cfg.validation_steps == 0:
             metric = float(val_fn(params, iteration))
             if is_main_process:
-                improved = keeper.update(metric, params, opt_state, iteration)
+                improved = keeper.update(metric, params, opt_state, iteration,
+                                         extra={"best_test": best_test})
                 last_saved = iteration
                 print(f"val @ {iteration}: metric={metric:.4f}"
                       + (" (new best)" if improved else ""))
@@ -232,7 +244,8 @@ def run_training(
 
     if is_main_process and last_saved != iteration:
         # always persist the final params (inf metric never displaces the best)
-        keeper.update(float("inf"), params, opt_state, iteration)
+        keeper.update(float("inf"), params, opt_state, iteration,
+                      extra={"best_test": best_test})
     return params, opt_state, iteration
 
 

@@ -514,3 +514,20 @@ def test_emage_shared_audio_encoder_matches_per_pass():
     # the 3-update trajectory is reproduced, not skipped
     nbt = p_sh["audio_encoder_body"]["feat_extractor"]["0"]["bn1"]["num_batches_tracked"]
     assert int(nbt) == 3
+
+
+def test_best_test_metric_persists_in_train_state(tmp_path):
+    """BestKeeper.update(extra=...) threads the loop's best test FGD into the
+    train-state metadata so resume does not let the first post-resume test pass
+    displace test_best/ with worse weights."""
+    from pantomatrix_tpu.train.ckpt import BestKeeper, load_train_state
+
+    params = init_camn(jax.random.PRNGKey(0), CAMN_CFG)
+    opt = make_optimizer(learning_rate=1e-3)
+    o = init_opt_state(opt, params)
+    keeper = BestKeeper(str(tmp_path), CAMN_CFG)
+    keeper.update(0.7, params, o, 5, extra={"best_test": 1.25})
+    p2 = init_camn(jax.random.PRNGKey(1), CAMN_CFG)
+    _, _, it, extra = load_train_state(str(tmp_path / "last.bin"), p2,
+                                       init_opt_state(opt, p2))
+    assert it == 5 and extra["metric"] == 0.7 and extra["best_test"] == 1.25
