@@ -142,12 +142,25 @@ def main():
         steps_per_dispatch=int(cfg.solver.get("steps_per_dispatch", 1)),
         test_steps=int(cfg.validation.get("test_steps", 0) or 0),
     )
+    from ..train.logging import JsonlLogger, WandbLogger
+
+    wb = WandbLogger(bool(cfg.validation.get("wandb")),
+                     project=cfg.get("wandb_project", ""),
+                     entity=cfg.get("wandb_entity", ""),
+                     name=cfg.exp_name, config=cfg.to_dict())
+    jl = JsonlLogger(os.path.join(cfg.output_dir, "metrics.jsonl"))
+
+    def log_fn(step, metrics):
+        jl.log(metrics, step)
+        wb.log({f"loss/Train/{k}": v for k, v in metrics.items()}, step)
+
     run_training(
         loop_cfg, step_fn, params, opt_state, train_loader,
         place_batch=lambda b: shard_batch(b, mesh),
         val_fn=val_fn, model_config=model_cfg, is_main_process=(pidx == 0),
-        test_fn=test_fn,
+        test_fn=test_fn, log_fn=log_fn,
     )
+    wb.finish()
 
 
 if __name__ == "__main__":

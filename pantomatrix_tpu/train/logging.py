@@ -40,6 +40,23 @@ class WandbLogger:
             self.run.finish()
 
 
+class JsonlLogger:
+    """Append-only ``metrics.jsonl`` in the experiment dir: a dependency-free,
+    always-available record of every logged scalar (train means, val metric, test
+    metrics). The reference's only durable metric record is wandb (opt-in,
+    network-bound); this keeps runs auditable offline."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def log(self, metrics: Dict[str, float], step: Optional[int] = None) -> None:
+        import json
+
+        rec = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
 class ThroughputMeter:
     """Seconds-of-motion-per-second counter (the reference's headline print)."""
 
@@ -75,4 +92,4 @@ def trace(log_dir: Optional[str]):
         jax.profiler.stop_trace()
 
 
-__all__ = ["ThroughputMeter", "WandbLogger", "trace"]
+__all__ = ["JsonlLogger", "ThroughputMeter", "WandbLogger", "trace"]

@@ -280,3 +280,17 @@ def test_train_camn_test_once_mode(tmp_path, mini_beat2):
     exp = os.path.join(tmp_path, exps[0])
     assert os.path.exists(os.path.join(exp, "test_0", "metrics.json"))
     assert not os.path.exists(os.path.join(exp, "ckpt", "last.bin"))
+
+
+def test_train_camn_writes_metrics_jsonl(tmp_path, mini_beat2):
+    """The always-on JsonlLogger records train means per log period."""
+    import json as _json
+
+    from pantomatrix_tpu.cli.train_camn import main
+
+    _run_cli(main, tmp_path, mini_beat2)
+    exps = os.listdir(tmp_path)
+    mfile = os.path.join(tmp_path, exps[0], "metrics.jsonl")
+    assert os.path.exists(mfile)
+    recs = [_json.loads(l) for l in open(mfile)]
+    assert recs and all("step" in r and "loss" in r for r in recs)
