@@ -146,13 +146,18 @@ def emage_forward(
     audio2body_proj = linear(params["audio_body_motion_proj"], audio2body_fea)
     motion_fea = motion_fea + spk_body
     motion_fea = periodic_positional_encoding(pe, motion_fea, cfg.dropout_prob, ctx)
-    cross = transformer_decoder(
-        params["audio_motion_cross_attn"], motion_fea, audio2body_proj,
-        num_layers=8, num_heads=4, ctx=ctx, dropout_rate=cfg.dropout_prob,
-    )
-    if not use_audio:
-        cross = cross * 0.0
-    motion_fea = motion_fea + cross
+    if use_audio:
+        cross = transformer_decoder(
+            params["audio_motion_cross_attn"], motion_fea, audio2body_proj,
+            num_layers=8, num_heads=4, ctx=ctx, dropout_rate=cfg.dropout_prob,
+        )
+        motion_fea = motion_fea + cross
+    # else: the reference computes the 8-layer stack and multiplies it by zero
+    # (modeling_emage_audio.py:310-312) — the output contribution is exactly 0 and
+    # every gradient through the zeroed stack is identically 0, so skipping the
+    # compute is mathematically equivalent (use_audio is static, so the no-audio
+    # training pass compiles without the stack; only framework-internal dropout
+    # draw order changes, which is never bit-comparable across frameworks anyway)
 
     # The three per-part branches (latent MLP -> cross-part refiner -> out/cls heads,
     # :315-341) are architecturally identical with independent weights, so they run

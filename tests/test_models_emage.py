@@ -358,3 +358,28 @@ def test_emage_inference_batched_wav_matches_in_scan(suite_pair, monkeypatch):
                 p, ECFG, s, a, sp, m, k, rounds, remain, batched_wav=_bw)
         ).lower(params, suite, jnp.asarray(audio), jnp.asarray(spk), mm, mk).as_text())
     assert txts[0] != txts[1]
+
+
+def test_emage_forward_no_audio_parity(suite_pair):
+    """use_audio=False golden: the reference computes the 8-layer cross-attn and
+    multiplies it by zero (modeling_emage_audio.py:310-312); our forward skips the
+    stack entirely — the outputs must still match the oracle exactly."""
+    torch.manual_seed(29)
+    oracle = TorchEmage(ECFG).eval()
+    params = jax.tree_util.tree_map(jnp.asarray, to_pytree(oracle))
+    bs, t = 2, ECFG.pose_length
+    audio = _window_audio(t)
+    rng = np.random.RandomState(31)
+    motion = rng.uniform(-1, 1, (bs, t, 337)).astype(np.float32)
+    mask = (rng.uniform(size=(bs, t, 1)) < 0.5).astype(np.float32) * np.ones(
+        (1, 1, 337), np.float32)
+    spk = np.array([[1], [2]])
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(audio), torch.from_numpy(spk),
+                     torch.from_numpy(motion), torch.from_numpy(mask),
+                     use_audio=False)
+    out = emage_forward(params, ECFG, jnp.asarray(audio), jnp.asarray(spk),
+                        jnp.asarray(motion), jnp.asarray(mask), use_audio=False)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(out[k]), ref[k].numpy(), atol=3e-4,
+                                   err_msg=k)
