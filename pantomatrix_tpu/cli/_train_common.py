@@ -117,7 +117,9 @@ def windowed_fgd_val(val_loader, predict_rot6d_fn, window: int = 64):
         # the val batches are process-local, so pull the (replicated) params to
         # host once and run the whole val pass on local devices
         if jax.process_count() > 1:
-            params = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+            from ..eval.test_flow import local_params
+
+            params = local_params(params)
         fgd = FGD(download_path=os.environ.get("EMAGE_EVALTOOLS", "./emage_evaltools/"),
                   window=window, stride=window)
         for batch in val_loader:

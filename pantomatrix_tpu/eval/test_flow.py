@@ -34,50 +34,42 @@ def unique_test_clips(meta_paths) -> List[dict]:
     return out
 
 
-def _local_params(params):
-    """Pull params to host numpy: test passes run on the MAIN process only
+def local_params(params):
+    """Pull params to host numpy: test/val passes may run on a single process
     (rank-0 parity), but under multi-process training the live params are global
     arrays over the full mesh — a single process may not dispatch on them. The
     trees are replicated, so every leaf is fully addressable and np.asarray is
     legal; the re-jit then runs on local devices only."""
-    import numpy as _np
-
     import jax as _jax
 
-    return _jax.tree_util.tree_map(lambda x: _np.asarray(x), params)
+    return _jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+
+
+def _make_seq_generate(forward, params, cfg) -> Callable:
+    """generate_fn for the whole-sequence families (CaMN/DisCo share the call
+    shape: forward(params, cfg, audio, speaker_id, seed_frames))."""
+    import jax
+
+    params = local_params(params)
+    fwd = jax.jit(lambda p, a, s: forward(p, cfg, a, s, cfg.seed_frames))
+
+    def generate(audio, speaker_id):
+        out = fwd(params, audio, speaker_id)
+        return {"motion": np.asarray(out["motion_axis_angle"])[0]}
+
+    return generate
 
 
 def make_camn_generate(params, cfg) -> Callable:
-    """generate_fn for the CaMN/DisCo families: whole-sequence forward."""
-    import jax
-
     from ..models.camn import camn_forward
 
-    params = _local_params(params)
-
-    fwd = jax.jit(lambda p, a, s: camn_forward(p, cfg, a, s, cfg.seed_frames))
-
-    def generate(audio, speaker_id):
-        out = fwd(params, audio, speaker_id)
-        return {"motion": np.asarray(out["motion_axis_angle"])[0]}
-
-    return generate
+    return _make_seq_generate(camn_forward, params, cfg)
 
 
 def make_disco_generate(params, cfg) -> Callable:
-    import jax
-
     from ..models.disco import disco_forward
 
-    params = _local_params(params)
-
-    fwd = jax.jit(lambda p, a, s: disco_forward(p, cfg, a, s, cfg.seed_frames))
-
-    def generate(audio, speaker_id):
-        out = fwd(params, audio, speaker_id)
-        return {"motion": np.asarray(out["motion_axis_angle"])[0]}
-
-    return generate
+    return _make_seq_generate(disco_forward, params, cfg)
 
 
 def make_emage_generate(params, cfg, suite) -> Callable:
@@ -89,7 +81,7 @@ def make_emage_generate(params, cfg, suite) -> Callable:
     from ..models.emage import _select_decode_inputs, emage_inference
     from ..models.emage_vq import vq_decode
 
-    params = _local_params(params)
+    params = local_params(params)
     decode = jax.jit(
         lambda s, sel, rt: vq_decode(s, **sel, get_global_motion=True, ref_trans=rt)
     )
@@ -184,6 +176,7 @@ def run_test_pass(generate_fn: Callable, test_list: List[dict], save_folder: str
 
 __all__ = [
     "generate_test_npz",
+    "local_params",
     "make_camn_generate",
     "make_disco_generate",
     "make_emage_generate",
