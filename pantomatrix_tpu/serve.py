@@ -159,4 +159,145 @@ class SequenceGenerator:
         return results  # type: ignore[return-value]
 
 
-__all__ = ["EmageGenerator", "GenerationResult", "SequenceGenerator"]
+
+
+class StreamingEmageGenerator:
+    """Incremental (low-latency) EMAGE generation: push 16 kHz audio as it
+    arrives, receive motion frames as soon as each 64-frame window completes.
+
+    The offline path (models/emage.py emage_inference) runs the whole sliding-
+    window AR chain as one device program; this engine runs the SAME per-window
+    step (models/emage.py _window_step — identical seed threading, slices, and
+    masks, so the LATENT sequence is exactly the offline one) but decodes each
+    emitted chunk as it is produced. Two documented deviations from the offline
+    decode, both inherent to streaming:
+
+    - the VQ decoders are temporal convolutions, so decoding per chunk differs
+      from decoding the concatenated sequence near chunk boundaries (the same
+      per-window decode the reference itself uses for the AR seed,
+      modeling_emage_audio.py:412-418);
+    - global translation integrates per chunk, continuing from the previous
+      chunk's final position.
+
+    Usage::
+
+        gen = StreamingEmageGenerator(model, vq_model)
+        for chunk in audio_stream:          # arbitrary chunk sizes
+            res = gen.push(chunk)           # res.motion_axis_angle: (t_new, 165)
+        res = gen.flush()                   # the final remainder window
+    """
+
+    def __init__(self, model, vq_model, speaker_id: int = 0,
+                 collect_latents: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        from .models.emage import SAMPLES_PER_FRAME, _select_decode_inputs, _window_step
+
+        self.model = model
+        self.vq = vq_model
+        cfg = model.config
+        self.window, self.pre = cfg.pose_length, cfg.seed_frames
+        self.stride = self.window - self.pre
+        self.spf = SAMPLES_PER_FRAME
+        self.collect_latents = collect_latents
+        self.latents: List[dict] = []
+
+        # identity-rot6d fake motion frame + all-ones mask (prepare_ar_inputs
+        # semantics: [1,0,0,0,1,0] per joint, zeros for trans/contact)
+        frame = np.zeros(cfg.pose_dims + 7, np.float32)
+        frame[0:330:6] = 1.0
+        frame[4:330:6] = 1.0
+        self._fake_frame = frame
+        self._seed = np.tile(frame, (1, self.pre, 1)).astype(np.float32)
+        self._trans = np.zeros((1, 1, 3), np.float32)
+        self._audio = np.zeros(0, np.float32)
+        self._frame_pos = 0   # start frame of the next window
+        self._spk = jnp.asarray([[speaker_id]], jnp.int32)
+
+        def step(params, suite, audio, spk, motion, mask):
+            return _window_step(params, cfg, suite, audio, spk, motion, mask)
+
+        self._step = jax.jit(step)
+        self._select = lambda net: _select_decode_inputs(cfg, net)
+        from .models.emage_vq import vq_decode
+
+        self._decode = jax.jit(
+            lambda s, sel, rt: vq_decode(s, **sel, get_global_motion=True,
+                                         ref_trans=rt)
+        )
+
+    def _window_inputs(self, size: int):
+        import jax.numpy as jnp
+
+        motion = np.tile(self._fake_frame, (1, size, 1)).astype(np.float32)
+        motion[:, : self.pre] = self._seed
+        mask = np.ones_like(motion)
+        mask[:, : self.pre] = 0.0
+        start = self._frame_pos * self.spf
+        audio = self._audio[start : start + size * self.spf][None]
+        return jnp.asarray(audio), jnp.asarray(motion), jnp.asarray(mask)
+
+    def _emit(self, net_out, keep: int) -> "GenerationResult":
+        import jax.numpy as jnp
+
+        cropped = {k: v[:, :keep] for k, v in net_out.items()}
+        if self.collect_latents:
+            self.latents.append({k: np.asarray(v) for k, v in cropped.items()})
+        sel = self._select(cropped)
+        dec = self._decode(self.vq.suite, sel, jnp.asarray(self._trans[:, 0]))
+        trans = np.asarray(dec["trans"])
+        self._trans = trans[:, -1:].copy()
+        return GenerationResult(
+            motion_axis_angle=np.asarray(dec["motion_axis_angle"])[0],
+            expressions=np.asarray(dec["expression"])[0],
+            trans=trans[0],
+        )
+
+    def _empty(self) -> "GenerationResult":
+        return GenerationResult(np.zeros((0, 165), np.float32),
+                                np.zeros((0, 100), np.float32),
+                                np.zeros((0, 3), np.float32))
+
+    def push(self, audio_chunk: np.ndarray) -> "GenerationResult":
+        """Append audio; process every now-complete full window. Returns the
+        newly finalized frames (possibly zero)."""
+        self._audio = np.concatenate(
+            [self._audio, np.asarray(audio_chunk, np.float32).ravel()]
+        )
+        outs = []
+        while len(self._audio) >= (self._frame_pos + self.window) * self.spf:
+            audio, motion, mask = self._window_inputs(self.window)
+            net_out, last = self._step(self.model.params, self.vq.suite, audio,
+                                       self._spk, motion, mask)
+            self._seed = np.asarray(last)
+            outs.append(self._emit(net_out, self.stride))
+            self._frame_pos += self.stride
+        if not outs:
+            return self._empty()
+        return GenerationResult(
+            motion_axis_angle=np.concatenate([o.motion_axis_angle for o in outs]),
+            expressions=np.concatenate([o.expressions for o in outs]),
+            trans=np.concatenate([o.trans for o in outs]),
+        )
+
+    def flush(self) -> "GenerationResult":
+        """Process the final remainder window (offline remainder semantics:
+        emitted only when more than ``seed_frames`` frames remain,
+        models/emage.py _inference_impl)."""
+        total_frames = len(self._audio) * FPS // SR
+        remain = total_frames - self._frame_pos - self.pre
+        if remain <= self.pre:
+            return self._empty()
+        size = self.pre + remain
+        audio, motion, mask = self._window_inputs(size)
+        net_out, last = self._step(self.model.params, self.vq.suite, audio,
+                                   self._spk, motion, mask)
+        self._seed = np.asarray(last)
+        out = self._emit(net_out, size)
+        self._frame_pos += size
+        return out
+
+
+__all__ = ["EmageGenerator", "GenerationResult", "SequenceGenerator",
+           "StreamingEmageGenerator"]

@@ -189,3 +189,52 @@ def test_sequence_generator_camn():
         assert m.shape[1] == 165
         assert m.shape[0] <= len(wave) * 15 // 16000
         assert np.isfinite(m).all()
+
+
+def test_streaming_generator_matches_offline_latents(tiny_stack):
+    """StreamingEmageGenerator: pushing audio in uneven chunks + flush produces
+    EXACTLY the offline AR latent sequence (same per-window step and seed
+    threading; models/emage.py _inference_impl), full frame-count parity, and
+    finite decoded outputs. Decoded motion may differ from the offline decode
+    only at chunk boundaries (per-chunk conv decode, documented)."""
+    import jax.numpy as jnp
+
+    from pantomatrix_tpu.models.emage import emage_inference
+    from pantomatrix_tpu.serve import StreamingEmageGenerator
+
+    model, vq = tiny_stack
+    rng = np.random.RandomState(7)
+    # 23 frames at 533 samples/frame: 3 full windows of 8 (stride 6) + remainder 5
+    n = 23 * 533
+    wave = rng.uniform(-0.5, 0.5, n).astype(np.float32)
+
+    offline = emage_inference(model.params, model.config, jnp.asarray(wave)[None],
+                              jnp.zeros((1, 1), jnp.int32), vq.suite)
+
+    gen = StreamingEmageGenerator(model, vq, collect_latents=True)
+    chunks = [wave[:1000], wave[1000:9000], wave[9000:9001], wave[9001:]]
+    outs = [gen.push(c) for c in chunks]
+    outs.append(gen.flush())
+
+    total = np.concatenate([o.motion_axis_angle for o in outs])
+    t_offline = np.asarray(offline["rec_face"]).shape[1]
+    assert total.shape == (t_offline, 165)
+    assert np.isfinite(total).all()
+
+    streamed = {
+        k: np.concatenate([lat[k] for lat in gen.latents], axis=1)
+        for k in gen.latents[0]
+    }
+    for k, v in streamed.items():
+        np.testing.assert_allclose(v, np.asarray(offline[k]), atol=1e-5, err_msg=k)
+
+    # pushing everything at once must give the same latent stream as uneven chunks
+    gen2 = StreamingEmageGenerator(model, vq, collect_latents=True)
+    gen2.push(wave)
+    gen2.flush()
+    streamed2 = {
+        k: np.concatenate([lat[k] for lat in gen2.latents], axis=1)
+        for k in gen2.latents[0]
+    }
+    for k in streamed:
+        np.testing.assert_allclose(streamed2[k], streamed[k], atol=1e-6, err_msg=k)
