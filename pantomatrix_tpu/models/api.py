@@ -36,8 +36,12 @@ class PretrainedModel:
     def __init__(self, config: BaseConfig, params: Optional[Dict[str, Any]] = None,
                  seed: int = 0):
         self.config = config
+        # jit the random init: eagerly it dispatches thousands of ops, which on
+        # tunneled platforms costs ~7 ms each (minutes for the full-size models);
+        # as one compiled program it takes seconds (CLAUDE.md)
         self.params = (
-            params if params is not None else self._init(jax.random.PRNGKey(seed))
+            params if params is not None
+            else jax.jit(self._init)(jax.random.PRNGKey(seed))
         )
 
     def _init(self, key):
