@@ -55,6 +55,28 @@ def seed_everything(seed: int) -> None:
     os.environ["PYTHONHASHSEED"] = str(seed)
 
 
+def make_log_fn(cfg, pidx: int):
+    """Shared metric sinks for the train CLIs: an always-on metrics.jsonl plus
+    wandb (opt-in). wandb.init runs on the MAIN process only — one run per job,
+    not one per host. Returns (log_fn, finish). Keys arriving already namespaced
+    (val/*, test/* from the loop) pass through; bare train-mean keys get the
+    reference's loss/Train/ prefix for wandb (train_emage_audio.py:478-487)."""
+    from ..train.logging import JsonlLogger, WandbLogger
+
+    wb = WandbLogger(bool(cfg.validation.get("wandb")) and pidx == 0,
+                     project=cfg.get("wandb_project", ""),
+                     entity=cfg.get("wandb_entity", ""),
+                     name=cfg.exp_name, config=cfg.to_dict())
+    jl = JsonlLogger(os.path.join(cfg.output_dir, "metrics.jsonl"))
+
+    def log_fn(step, metrics):
+        jl.log(metrics, step)
+        wb.log({(k if "/" in k else f"loss/Train/{k}"): v
+                for k, v in metrics.items()}, step)
+
+    return log_fn, wb.finish
+
+
 def build_test_fn(cfg, make_generate, pose_fps: int, with_face: bool = False):
     """Periodic in-training test pass — the reference's every-``test_steps`` rank-0
     block (train_emage_audio.py:320-329): generate the full test split, save npz,
@@ -131,5 +153,5 @@ def windowed_fgd_val(val_loader, predict_rot6d_fn, window: int = 64):
     return val_fn
 
 
-__all__ = ["build_test_fn", "init_env", "parse_args", "run_test_and_exit",
-           "seed_everything", "windowed_fgd_val"]
+__all__ = ["build_test_fn", "init_env", "make_log_fn", "parse_args",
+           "run_test_and_exit", "seed_everything", "windowed_fgd_val"]

@@ -67,6 +67,7 @@ def main():
     from ..train.steps import init_opt_state, make_disco_train_step
     from ._train_common import (
         build_test_fn,
+        make_log_fn,
         init_env,
         run_test_and_exit,
         seed_everything,
@@ -139,17 +140,7 @@ def main():
         steps_per_dispatch=int(cfg.solver.get("steps_per_dispatch", 1)),
         test_steps=int(cfg.validation.get("test_steps", 0) or 0),
     )
-    from ..train.logging import JsonlLogger, WandbLogger
-
-    wb = WandbLogger(bool(cfg.validation.get("wandb")),
-                     project=cfg.get("wandb_project", ""),
-                     entity=cfg.get("wandb_entity", ""),
-                     name=cfg.exp_name, config=cfg.to_dict())
-    jl = JsonlLogger(os.path.join(cfg.output_dir, "metrics.jsonl"))
-
-    def log_fn(step, metrics):
-        jl.log(metrics, step)
-        wb.log({f"loss/Train/{k}": v for k, v in metrics.items()}, step)
+    log_fn, log_finish = make_log_fn(cfg, pidx)
 
     run_training(
         loop_cfg, step_fn, params, opt_state, train_loader,
@@ -157,7 +148,7 @@ def main():
         val_fn=val_fn, model_config=model_cfg, is_main_process=(pidx == 0),
         test_fn=test_fn, log_fn=log_fn,
     )
-    wb.finish()
+    log_finish()
 
 
 if __name__ == "__main__":

@@ -326,17 +326,25 @@ def _inference_impl(params, cfg: EmageAudioConfig, suite: EmageVQSuite, audio,
         cropped = {k: v[:, :-pre] for k, v in net_out.items()}
         return last, cropped
 
-    last_motion, stacked = jax.lax.scan(
-        body, masked_motion[:, :pre, :], jnp.arange(rounds)
-    )
-    # (rounds, bs, stride, c) -> (bs, rounds*stride, c), same order as concatenation
-    outs = {
-        k: jnp.transpose(v, (1, 0, 2, 3)).reshape(v.shape[1], rounds * stride, -1)
-        for k, v in stacked.items()
-    }
+    if rounds > 0:
+        last_motion, stacked = jax.lax.scan(
+            body, masked_motion[:, :pre, :], jnp.arange(rounds)
+        )
+        # (rounds, bs, stride, c) -> (bs, rounds*stride, c), concatenation order
+        outs = {
+            k: jnp.transpose(v, (1, 0, 2, 3)).reshape(v.shape[1], rounds * stride, -1)
+            for k, v in stacked.items()
+        }
+    else:
+        # remainder-only program (audio shorter than one full window): lax.scan
+        # traces its body even at trip count 0, and the window-sized slice would
+        # overrun the short sequence — skip the scan entirely (the reference's
+        # python loop simply doesn't run, modeling_emage_audio.py:380)
+        last_motion, outs = masked_motion[:, :pre, :], None
     if remain > pre:
         net_out, _ = one_window(last_motion, rounds * stride, pre + remain)
-        outs = {k: jnp.concatenate([outs[k], net_out[k]], axis=1) for k in outs}
+        outs = (net_out if outs is None
+                else {k: jnp.concatenate([outs[k], net_out[k]], axis=1) for k in outs})
     return outs
 
 

@@ -212,8 +212,12 @@ class StreamingEmageGenerator:
         self._seed = np.tile(frame, (1, self.pre, 1)).astype(np.float32)
         self._trans = np.zeros((1, 1, 3), np.float32)
         self._audio = np.zeros(0, np.float32)
+        self._consumed = 0    # samples trimmed off the front of the buffer
         self._frame_pos = 0   # start frame of the next window
         self._spk = jnp.asarray([[speaker_id]], jnp.int32)
+        # decoded widths come from the face tokenizer config (vq_decode emits
+        # expression = face_mix[:, :, 6:])
+        self._expr_dim = self.vq.suite.face[1].vae_test_dim - 6
 
         def step(params, suite, audio, spk, motion, mask):
             return _window_step(params, cfg, suite, audio, spk, motion, mask)
@@ -234,7 +238,7 @@ class StreamingEmageGenerator:
         motion[:, : self.pre] = self._seed
         mask = np.ones_like(motion)
         mask[:, : self.pre] = 0.0
-        start = self._frame_pos * self.spf
+        start = self._frame_pos * self.spf - self._consumed
         audio = self._audio[start : start + size * self.spf][None]
         return jnp.asarray(audio), jnp.asarray(motion), jnp.asarray(mask)
 
@@ -256,8 +260,12 @@ class StreamingEmageGenerator:
 
     def _empty(self) -> "GenerationResult":
         return GenerationResult(np.zeros((0, 165), np.float32),
-                                np.zeros((0, 100), np.float32),
+                                np.zeros((0, self._expr_dim), np.float32),
                                 np.zeros((0, 3), np.float32))
+
+    @property
+    def _total_samples(self) -> int:
+        return self._consumed + len(self._audio)
 
     def push(self, audio_chunk: np.ndarray) -> "GenerationResult":
         """Append audio; process every now-complete full window. Returns the
@@ -266,13 +274,25 @@ class StreamingEmageGenerator:
             [self._audio, np.asarray(audio_chunk, np.float32).ravel()]
         )
         outs = []
-        while len(self._audio) >= (self._frame_pos + self.window) * self.spf:
+        # window i is a FULL window in the offline program as soon as the
+        # offline frame count (samples*30//16000; prepare_ar_inputs) reaches
+        # frame_pos+window — that bound only grows, so firing on it streams the
+        # exact offline window sequence. Gating on frame_pos*533 samples instead
+        # fires up to frame/3 samples early and can turn what offline treats as
+        # the remainder window into a full window.
+        while self._total_samples * FPS // SR >= self._frame_pos + self.window:
             audio, motion, mask = self._window_inputs(self.window)
             net_out, last = self._step(self.model.params, self.vq.suite, audio,
                                        self._spk, motion, mask)
             self._seed = np.asarray(last)
             outs.append(self._emit(net_out, self.stride))
             self._frame_pos += self.stride
+        # drop consumed samples: long-lived streams must not accumulate the
+        # whole audio history (O(1) memory, O(chunk) work per push)
+        cut = self._frame_pos * self.spf - self._consumed
+        if cut > 0:
+            self._audio = self._audio[cut:]
+            self._consumed += cut
         if not outs:
             return self._empty()
         return GenerationResult(
@@ -285,7 +305,7 @@ class StreamingEmageGenerator:
         """Process the final remainder window (offline remainder semantics:
         emitted only when more than ``seed_frames`` frames remain,
         models/emage.py _inference_impl)."""
-        total_frames = len(self._audio) * FPS // SR
+        total_frames = self._total_samples * FPS // SR
         remain = total_frames - self._frame_pos - self.pre
         if remain <= self.pre:
             return self._empty()

@@ -42,9 +42,10 @@ class WandbLogger:
 
 class JsonlLogger:
     """Append-only ``metrics.jsonl`` in the experiment dir: a dependency-free,
-    always-available record of every logged scalar (train means, val metric, test
-    metrics). The reference's only durable metric record is wandb (opt-in,
-    network-bound); this keeps runs auditable offline."""
+    always-available record of every scalar routed through the loop's log_fn —
+    train means per log period, ``val/metric`` per validation, and ``test/*``
+    per test pass (train/loop.py). The reference's only durable metric record is
+    wandb (opt-in, network-bound); this keeps runs auditable offline."""
 
     def __init__(self, path: str):
         self.path = path

@@ -227,6 +227,8 @@ def run_training(
                 last_saved = iteration
                 print(f"val @ {iteration}: metric={metric:.4f}"
                       + (" (new best)" if improved else ""))
+                if log_fn:
+                    log_fn(iteration, {"val/metric": metric})
 
         if (test_fn is not None and loop_cfg.test_steps
                 and iteration % loop_cfg.test_steps == 0 and is_main_process):
@@ -241,6 +243,9 @@ def run_training(
                                 params, model_config)
                 msg += " (new test best)"
             print(f"test @ {iteration}: {msg}")
+            if log_fn:
+                log_fn(iteration, {f"test/{k}": float(v)
+                                   for k, v in tmetrics.items()})
 
     if is_main_process and last_saved != iteration:
         # always persist the final params (inf metric never displaces the best)

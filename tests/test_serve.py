@@ -204,8 +204,10 @@ def test_streaming_generator_matches_offline_latents(tiny_stack):
 
     model, vq = tiny_stack
     rng = np.random.RandomState(7)
-    # 23 frames at 533 samples/frame: 3 full windows of 8 (stride 6) + remainder 5
-    n = 23 * 533
+    # 12267 samples -> 23 OFFLINE frames (samples*30//16000, prepare_ar_inputs —
+    # NOT 23*533=12259, which is only 22 offline frames): 3 full windows of 8
+    # (stride 6) + a remainder window of pre+3=5, so flush() emits a real window
+    n = 23 * 16000 // 30 + 1
     wave = rng.uniform(-0.5, 0.5, n).astype(np.float32)
 
     offline = emage_inference(model.params, model.config, jnp.asarray(wave)[None],
@@ -238,3 +240,34 @@ def test_streaming_generator_matches_offline_latents(tiny_stack):
     }
     for k in streamed:
         np.testing.assert_allclose(streamed2[k], streamed[k], atol=1e-6, err_msg=k)
+
+
+def test_streaming_window_gating_uses_offline_frame_math(tiny_stack):
+    """Lengths in [F*533, ceil(F*16000/30)) have enough samples for frame F's
+    audio slice but fewer than F OFFLINE frames -- the stream must NOT fire a
+    full window there (offline would treat the tail as a remainder window).
+    4264 samples = 8*533 but only 7 offline frames: push emits nothing; flush
+    runs the offline 7-frame remainder window."""
+    import jax.numpy as jnp
+
+    from pantomatrix_tpu.models.emage import emage_inference
+    from pantomatrix_tpu.serve import StreamingEmageGenerator
+
+    model, vq = tiny_stack
+    rng = np.random.RandomState(9)
+    wave = rng.uniform(-0.5, 0.5, 8 * 533).astype(np.float32)
+
+    offline = emage_inference(model.params, model.config, jnp.asarray(wave)[None],
+                              jnp.zeros((1, 1), jnp.int32), vq.suite)
+    t_offline = np.asarray(offline["rec_face"]).shape[1]
+    assert t_offline == 7  # premise: remainder-only program
+
+    gen = StreamingEmageGenerator(model, vq, collect_latents=True)
+    res = gen.push(wave)
+    assert res.motion_axis_angle.shape[0] == 0  # no full window fired
+    res = gen.flush()
+    assert res.motion_axis_angle.shape[0] == 7
+    streamed = {k: np.concatenate([lat[k] for lat in gen.latents], axis=1)
+                for k in gen.latents[0]}
+    for k, v in streamed.items():
+        np.testing.assert_allclose(v, np.asarray(offline[k]), atol=1e-5, err_msg=k)
