@@ -313,12 +313,20 @@ def _inference_impl(params, cfg: EmageAudioConfig, suite: EmageVQSuite, audio,
             )
         )(starts)  # (rounds, bs, window samples)
         flat = win_audio.reshape(rounds * bs, window * SAMPLES_PER_FRAME)
-        a2f = wav_encoder(params["audio_encoder_face"], flat, cfg.audio_f, "emage",
-                          EVAL, ("audio_encoder_face",))
-        a2b = wav_encoder(params["audio_encoder_body"], flat, cfg.audio_f, "emage",
-                          EVAL, ("audio_encoder_body",))
-        t_f = a2f.shape[1]
-        feats = (a2f.reshape(rounds, bs, t_f, -1), a2b.reshape(rounds, bs, t_f, -1))
+        # the face/body encoders share an architecture with independent weights:
+        # one vmapped call over a stacked (2, ...) param axis instead of two
+        # sequential conv stacks (same trick as the per-part branches above)
+        stacked_p = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            params["audio_encoder_face"], params["audio_encoder_body"],
+        )
+        both = jax.vmap(
+            lambda p: wav_encoder(p, flat, cfg.audio_f, "emage", EVAL,
+                                  ("audio_encoder",))
+        )(stacked_p)  # (2, rounds*bs, t_f, audio_f)
+        t_f = both.shape[2]
+        feats = (both[0].reshape(rounds, bs, t_f, -1),
+                 both[1].reshape(rounds, bs, t_f, -1))
 
     def body(last_motion, i):
         af = None if feats is None else (feats[0][i], feats[1][i])
