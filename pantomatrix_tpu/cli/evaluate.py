@@ -44,6 +44,9 @@ def main():
     p.add_argument("--speaker", type=int, default=2)
     p.add_argument("--save_folder", type=str, required=True)
     p.add_argument("--vq_path", type=str, default=None, help="emage only")
+    p.add_argument("--fgd_strict", action="store_true",
+                   help="raise if the AESKConv FGD weights are missing/corrupt "
+                        "instead of degrading to the stats embedder")
     args = p.parse_args()
 
     os.makedirs(args.save_folder, exist_ok=True)
@@ -76,7 +79,8 @@ def main():
 
     metrics = run_test_pass(generate_fn, test_list, args.save_folder,
                             pose_fps=cfg.pose_fps, audio_sr=cfg.audio_sr,
-                            with_face=args.family == "emage")
+                            with_face=args.family == "emage",
+                            fgd_strict=args.fgd_strict)
     print(json.dumps(metrics, indent=2))
 
 

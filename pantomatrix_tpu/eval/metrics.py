@@ -70,31 +70,61 @@ class _StatsEmbedder:
 
 
 class FGD:
-    """Fréchet Gesture Distance over windowed rot6d sequences."""
+    """Fréchet Gesture Distance over windowed rot6d sequences.
+
+    ``embedder_kind`` records which feature net produced the features
+    ("aeskconv" | "stats" | "custom") so downstream metrics.json can mark FGD
+    values that are NOT comparable to the reference's published numbers.
+    ``strict=True`` raises instead of silently degrading to the statistics
+    embedding (missing weight file OR unreadable/mismatched file).
+
+    NOTE on fallback windowing: window=64/stride=64 (non-overlapping) is an
+    internal choice for the stats embedder. The reference protocol's windowing
+    lives in the external emage_evaltools source shipped next to
+    ``AESKConv_240_100.bin`` — when that file arrives, re-check stride against
+    that source before comparing values (tests/test_eval_metrics.py pins this
+    reminder).
+    """
 
     def __init__(self, download_path: str = "./emage_evaltools/", window: int = 64,
-                 stride: int = 64, embedder=None):
+                 stride: int = 64, embedder=None, strict: bool = False):
         self.window = window
         self.stride = stride
         self.embedder = embedder
+        self.embedder_kind = "custom" if embedder is not None else ""
         if embedder is None:
             weight_file = os.path.join(download_path or ".", "AESKConv_240_100.bin")
             if os.path.exists(weight_file):
-                self.embedder = self._load_aeskconv(weight_file)
+                self.embedder = self._load_aeskconv(weight_file, strict)
+            elif strict:
+                raise FileNotFoundError(
+                    f"FGD strict mode: AESKConv weight file not found at "
+                    f"{weight_file} (README.md:92 protocol)"
+                )
             else:
                 self.embedder = _StatsEmbedder()
+            self.embedder_kind = (
+                "stats" if isinstance(self.embedder, _StatsEmbedder) else "aeskconv"
+            )
         self.reset()
 
     @staticmethod
-    def _load_aeskconv(path: str):
+    def _load_aeskconv(path: str, strict: bool = False):
         """Import the pretrained skeleton-autoencoder feature net (README.md:92;
         architecture reconstructed in eval/fgd_encoder.py). Falls back to the
-        statistics embedding only when the file is unreadable/mismatched."""
+        statistics embedding only when the file is unreadable/mismatched — and
+        only if ``strict`` is off; a corrupt file must never silently produce
+        FGD values incomparable with previous runs."""
         try:
             from .fgd_encoder import load_aeskconv
 
             return load_aeskconv(path)
         except Exception as e:
+            if strict:
+                raise RuntimeError(
+                    f"FGD strict mode: failed to import AESKConv weights from "
+                    f"{path}: {e}"
+                ) from e
             print(
                 f"FGD: failed to import AESKConv weights from {path} ({e}); "
                 "falling back to the statistics embedding (values not comparable "

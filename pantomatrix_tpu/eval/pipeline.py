@@ -26,11 +26,18 @@ def evaluate_clips(
     audio_sr: int = 16000,
     with_face: bool = True,
     download_path: str = "./emage_evaltools/",
-) -> Dict[str, float]:
-    """gt_list/pred_list: dicts with video_id / motion_path (+ audio_path in gt)."""
+    fgd_strict: bool = False,
+) -> Dict[str, object]:
+    """gt_list/pred_list: dicts with video_id / motion_path (+ audio_path in gt).
+
+    The returned dict carries ``fgd_embedder`` ("aeskconv" | "stats") so every
+    metrics.json records which feature net produced its FGD value —
+    stats-embedder values are NOT comparable to the reference's published
+    numbers or to aeskconv runs. ``fgd_strict=True`` raises instead of
+    degrading (missing or corrupt AESKConv_240_100.bin)."""
     import jax.numpy as jnp
 
-    fgd = FGD(download_path)
+    fgd = FGD(download_path, strict=fgd_strict)
     bc = BC(download_path, sigma=0.3, order=7)
     l1 = L1div()
     lvd = LVDFace()
@@ -83,7 +90,7 @@ def evaluate_clips(
         ).reshape(1, t, 330)
         fgd.update(pred6, gt6)
 
-    metrics = {"fgd": fgd.compute()}
+    metrics = {"fgd": fgd.compute(), "fgd_embedder": fgd.embedder_kind}
     if smplx_model is not None:
         metrics["bc"] = bc.avg()
         metrics["l1"] = l1.avg()

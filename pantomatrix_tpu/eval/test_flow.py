@@ -132,7 +132,7 @@ def generate_test_npz(generate_fn: Callable, test_list: List[dict], save_folder:
 def run_test_pass(generate_fn: Callable, test_list: List[dict], save_folder: str,
                   pose_fps: int, with_face: bool, audio_sr: int = 16000,
                   download_path: str = "./emage_evaltools/",
-                  visualize: int = 0) -> Dict[str, float]:
+                  visualize: int = 0, fgd_strict: bool = False) -> Dict[str, object]:
     """Full generate -> npz -> metrics pass; returns the metric dict (also written
     to ``<save_folder>/metrics.json``).
 
@@ -168,7 +168,8 @@ def run_test_pass(generate_fn: Callable, test_list: List[dict], save_folder: str
 
     metrics = evaluate_clips(test_list, save_list, smplx_model=smplx_model,
                              pose_fps=pose_fps, audio_sr=audio_sr,
-                             with_face=with_face, download_path=download_path)
+                             with_face=with_face, download_path=download_path,
+                             fgd_strict=fgd_strict)
     with open(os.path.join(save_folder, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
     return metrics

@@ -11,10 +11,13 @@ autoregressive ``inference`` (:343-490), including the reference's quirks:
   but have independent weights (torch ``nn.TransformerDecoder`` deep-copies its layer);
 - frame->sample mapping ``16000 // 30 == 533`` (:393).
 
-TPU design: the per-window forward is a fixed-shape jit (window=pose_length=64); the
-AR loop over windows runs in Python (each round reuses the same compiled function).
-Batched clips share the loop — pass (bs, samples) audio. The VQ decode of the seed tail
-runs inside the same jit step as the forward, so one device round-trip per window.
+TPU design: the WHOLE sliding-window AR generation is one device program
+(``_inference_impl``) — a ``lax.scan`` over the full windows (fixed-shape per-window
+forward, window=pose_length=64, the VQ decode of the seed tail fused into the scan
+body) followed by one remainder-window call, so inference costs a single dispatch
+regardless of audio length. Batched clips share the program — pass (bs, samples)
+audio. Opt-in serving modes (static args, each its own compiled program):
+``compute_dtype="bfloat16"`` and ``batched_wav`` (pre-scan batched WavEncoder).
 """
 from __future__ import annotations
 

@@ -114,6 +114,7 @@ def run_training(
     """
     iteration = 0
     best_test = float("inf")
+    best_test_embedder = ""
     if loop_cfg.resume_from_checkpoint:
         params, opt_state, iteration, extra = load_train_state(
             loop_cfg.resume_from_checkpoint,
@@ -122,6 +123,7 @@ def run_training(
         # without this the first post-resume test pass would displace test_best/
         # with arbitrarily worse weights (anything beats a fresh inf)
         best_test = float(extra.get("best_test", float("inf")))
+        best_test_embedder = str(extra.get("best_test_embedder", ""))
         print(f"resumed from {loop_cfg.resume_from_checkpoint} at step {iteration}")
 
     if len(train_loader) == 0:
@@ -223,7 +225,8 @@ def run_training(
             metric = float(val_fn(params, iteration))
             if is_main_process:
                 improved = keeper.update(metric, params, opt_state, iteration,
-                                         extra={"best_test": best_test})
+                                         extra={"best_test": best_test,
+                                                "best_test_embedder": best_test_embedder})
                 last_saved = iteration
                 print(f"val @ {iteration}: metric={metric:.4f}"
                       + (" (new best)" if improved else ""))
@@ -233,8 +236,22 @@ def run_training(
         if (test_fn is not None and loop_cfg.test_steps
                 and iteration % loop_cfg.test_steps == 0 and is_main_process):
             tmetrics = test_fn(params, iteration)
-            msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(tmetrics.items()))
+            msg = " ".join(
+                f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in sorted(tmetrics.items())
+            )
             tmetric = float(tmetrics.get("fgd", float("inf")))
+            # never mix FGD values from different embedders in best-test
+            # selection: a stats-embedder number is incomparable to an
+            # aeskconv one (eval/metrics.py FGD.embedder_kind)
+            embedder = str(tmetrics.get("fgd_embedder", ""))
+            if embedder and embedder != best_test_embedder:
+                if best_test_embedder:
+                    print(f"test: fgd embedder changed "
+                          f"{best_test_embedder!r} -> {embedder!r}; "
+                          "resetting test_best tracking")
+                    best_test = float("inf")
+                best_test_embedder = embedder
             if tmetric < best_test:
                 best_test = tmetric
                 from ..io.hf_checkpoint import save_checkpoint
@@ -245,12 +262,14 @@ def run_training(
             print(f"test @ {iteration}: {msg}")
             if log_fn:
                 log_fn(iteration, {f"test/{k}": float(v)
-                                   for k, v in tmetrics.items()})
+                                   for k, v in tmetrics.items()
+                                   if isinstance(v, (int, float))})
 
     if is_main_process and last_saved != iteration:
         # always persist the final params (inf metric never displaces the best)
         keeper.update(float("inf"), params, opt_state, iteration,
-                      extra={"best_test": best_test})
+                      extra={"best_test": best_test,
+                             "best_test_embedder": best_test_embedder})
     return params, opt_state, iteration
 
 
