@@ -57,8 +57,10 @@ def main():
         lr_scheduler=cfg.solver.lr_scheduler,
         warmup_steps=int(cfg.solver.lr_warmup_steps),
         total_steps=int(cfg.solver.max_train_steps),
+        optimizer=cfg.solver.get("optimizer", "adam"),
     )
-    step_fn = make_camn_train_step(model_cfg, optimizer, mesh)
+    step_fn = make_camn_train_step(model_cfg, optimizer, mesh,
+                                   compute_dtype=cfg.solver.get("compute_dtype"))
     opt_state = init_opt_state(optimizer, params)
     params = replicate(params, mesh)
     opt_state = replicate(opt_state, mesh)

@@ -14,14 +14,22 @@ import numpy as np
 class _WeightedLoader:
     """Epoch-reshuffled class-balanced batches (train_disco_audio.py:78-91).
 
-    Multi-process: each process takes a strided slice of the SAME per-epoch sampled
-    index stream (seeded by epoch), so shards are disjoint and deterministic.
+    ``batch_size`` is the GLOBAL batch. Multi-process: every process samples the
+    SAME per-epoch weighted index stream (seeded by epoch) and takes rows
+    [p*lb:(p+1)*lb] of each global batch, so the concatenated local batches equal
+    the single-process batch row-for-row (same device layout under the sharded
+    global mesh; see data/beat2.py DataLoader).
     """
 
     def __init__(self, dataset, batch_size: int, seed: int = 42,
                  process_index: int = 0, process_count: int = 1):
         from ..data.beat2 import collate
 
+        if batch_size % process_count:
+            raise ValueError(
+                f"global batch_size={batch_size} must divide evenly over "
+                f"process_count={process_count} processes"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
@@ -35,15 +43,18 @@ class _WeightedLoader:
         self.epoch = epoch
 
     def __len__(self) -> int:
-        return len(self.dataset) // self.process_count // self.batch_size
+        return len(self.dataset) // self.batch_size
 
     def __iter__(self):
         from ..data.beat2 import weighted_indices
 
         idx = weighted_indices(self.labels, len(self.dataset), self.seed + self.epoch)
-        idx = idx[self.process_index :: self.process_count]
+        lb = self.batch_size // self.process_count
+        idx = idx[: len(self) * self.batch_size].reshape(
+            len(self), self.process_count, lb
+        )[:, self.process_index].reshape(-1)
         for b in range(len(self)):
-            chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            chunk = idx[b * lb : (b + 1) * lb]
             yield self._collate([self.dataset[int(i)] for i in chunk])
 
 
@@ -91,8 +102,10 @@ def main():
         lr_scheduler=cfg.solver.lr_scheduler,
         warmup_steps=int(cfg.solver.lr_warmup_steps),
         total_steps=int(cfg.solver.max_train_steps),
+        optimizer=cfg.solver.get("optimizer", "adam"),
     )
-    step_fn = make_disco_train_step(model_cfg, optimizer, mesh)
+    step_fn = make_disco_train_step(model_cfg, optimizer, mesh,
+                                    compute_dtype=cfg.solver.get("compute_dtype"))
     opt_state = init_opt_state(optimizer, params)
     params = replicate(params, mesh)
     opt_state = replicate(opt_state, mesh)

@@ -87,12 +87,14 @@ def main():
         lr_scheduler=cfg.solver.lr_scheduler,
         warmup_steps=int(cfg.solver.lr_warmup_steps),
         total_steps=int(cfg.solver.max_train_steps),
+        optimizer=cfg.solver.get("optimizer", "adam"),
     )
     step_fn = make_emage_train_step(
         model_cfg, suite, optimizer, mesh,
         mask_schedule=cfg.get("mask_schedule", "reference"),
         gradient_checkpointing=bool(cfg.solver.get("gradient_checkpointing", False)),
         share_audio_encoder=bool(cfg.solver.get("share_audio_encoder", True)),
+        compute_dtype=cfg.solver.get("compute_dtype"),
     )
     opt_state = init_opt_state(optimizer, params)
     params = replicate(params, mesh)

@@ -120,16 +120,30 @@ def collate(items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
 
 
 class DataLoader:
-    """Sharded, shuffling batch iterator (DistributedSampler + DataLoader parity).
+    """Sharded, shuffling batch iterator (DistributedSampler + DataLoader parity,
+    train_emage_audio.py:275-278).
 
-    process_index/process_count shard the index deterministically by epoch seed, each
-    shard yielding identical-length epochs (pad by wrap-around, as DistributedSampler
-    does). ``skip_batches`` supports resume-to-intra-epoch-step
-    (train_emage_audio.py:313-317).
+    ``batch_size`` is the GLOBAL batch: with ``process_count`` processes each yields
+    ``batch_size // process_count`` rows per step, and the concatenation of the
+    process-local batches (in process order) is EXACTLY the batch a single-process
+    loader would produce for the same epoch seed. That block layout makes the
+    per-device rows under a ``P("data")``-sharded global mesh identical to the
+    single-process placement, so multi-controller training is bitwise-comparable to
+    the one-process run (tests/test_multiprocess.py). torch's DistributedSampler
+    partitions element-strided instead; either way shards are disjoint and
+    deterministic per epoch — we pick the order that preserves device layout.
+
+    ``set_epoch`` reseeds the shuffle (DistributedSampler.set_epoch parity); resume
+    skips batches intra-epoch (train_emage_audio.py:313-317).
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True, seed: int = 42,
                  process_index: int = 0, process_count: int = 1, drop_last: bool = True):
+        if batch_size % process_count:
+            raise ValueError(
+                f"global batch_size={batch_size} must divide evenly over "
+                f"process_count={process_count} processes"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -139,28 +153,41 @@ class DataLoader:
         self.drop_last = drop_last
         self.epoch = 0
 
+    @property
+    def local_batch_size(self) -> int:
+        return self.batch_size // self.process_count
+
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
     def _indices(self) -> np.ndarray:
+        """This process's index stream for the current epoch (local-batch-major)."""
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(idx)
-        per = int(np.ceil(n / self.process_count))
-        padded = np.concatenate([idx, idx[: per * self.process_count - n]])
-        return padded[self.process_index :: self.process_count]
+        if self.process_count == 1:
+            return idx
+        gb, lb = self.batch_size, self.local_batch_size
+        nb = n // gb
+        if not self.drop_last and n % gb:
+            # pad the tail batch by wrap-around (DistributedSampler pads the same way)
+            nb += 1
+            idx = np.concatenate([idx, idx[: nb * gb - n]])
+        # global batch k rows [p*lb:(p+1)*lb] -> process p's local batch k
+        return idx[: nb * gb].reshape(nb, self.process_count, lb)[:, self.process_index].reshape(-1)
 
     def __len__(self) -> int:
         per = len(self._indices())
-        return per // self.batch_size if self.drop_last else int(np.ceil(per / self.batch_size))
+        lb = self.local_batch_size
+        return per // lb if self.drop_last else int(np.ceil(per / lb))
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         idx = self._indices()
-        nb = len(self)
-        for b in range(nb):
-            chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
+        lb = self.local_batch_size
+        for b in range(len(self)):
+            chunk = idx[b * lb : (b + 1) * lb]
             yield collate([self.dataset[int(i)] for i in chunk])
 
 

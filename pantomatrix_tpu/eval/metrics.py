@@ -216,8 +216,21 @@ class BC:
 
 
 class L1div:
-    """L1 diversity of joint positions: mean absolute deviation from the clip's
-    temporal mean pose, accumulated across clips."""
+    """L1 diversity of joint positions, accumulated across clips.
+
+    DEFINITIONAL CHOICES (the reference's implementation lives in the external,
+    network-gated ``emage_evaltools`` package — interface at SURVEY §2.8,
+    call site train_emage_audio.py:413; this block is the single place the
+    reconstruction's choices are recorded, and tests/test_eval_metrics.py pins
+    them against an independent torch oracle):
+
+    per clip = mean over FRAMES of the L1 NORM (sum over all position channels)
+    of the frame's deviation from the clip's temporal mean pose:
+    ``mean_t( sum_c |pos[t,c] - mean_t'(pos[t',c])| )`` — the BEAT protocol's
+    "average L1 distance from the mean pose". ``avg()`` = unweighted mean of the
+    per-clip values (clips are NOT length-weighted). Flat (t, c) input uses the
+    norm-then-mean form; anything else falls back to a plain element mean.
+    """
 
     def __init__(self):
         self.reset()
@@ -237,8 +250,15 @@ class L1div:
 
 
 class LVDFace:
-    """Lip/landmark Velocity Difference: mean L2 distance between per-frame vertex
-    velocities of prediction and ground truth."""
+    """Lip/landmark Velocity Difference (call site train_emage_audio.py:417).
+
+    DEFINITIONAL CHOICES (see L1div for why these are recorded here; oracle in
+    tests/test_eval_metrics.py): velocity = forward frame difference of vertex
+    positions; per clip = mean over (frames-1, vertices) of the PER-VERTEX
+    EUCLIDEAN NORM (over xyz) of the velocity difference:
+    ``mean_{t,v}( ||vel_pred[t,v,:] - vel_gt[t,v,:]||_2 )``. Pred/gt truncated
+    to the common length first; ``avg()`` = unweighted per-clip mean.
+    """
 
     def __init__(self):
         self.reset()
@@ -261,7 +281,12 @@ class LVDFace:
 
 
 class MSEFace:
-    """Facial vertex mean squared error."""
+    """Facial vertex mean squared error (call site train_emage_audio.py:418).
+
+    DEFINITIONAL CHOICES (see L1div; oracle in tests/test_eval_metrics.py):
+    per clip = plain element mean of squared position error over every
+    (frame, vertex, xyz) entry, after truncating pred/gt to the common length;
+    ``avg()`` = unweighted per-clip mean."""
 
     def __init__(self):
         self.reset()

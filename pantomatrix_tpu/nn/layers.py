@@ -117,13 +117,17 @@ def batch_norm1d(
     """
     if ctx.train:
         reduce_axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axis=reduce_axes)
+        # batch stats always accumulate in float32: a bf16 sum over B*L elements
+        # loses ~log2(B*L) mantissa bits, which corrupts both normalization and
+        # the running-stat trajectory under compute_dtype="bfloat16" training
+        xf = x.astype(jnp.float32) if x.dtype in (jnp.bfloat16, jnp.float16) else x
+        mean = jnp.mean(xf, axis=reduce_axes)
         if ctx.axis_name is not None:
             mean = jax.lax.pmean(mean, ctx.axis_name)
         # two-pass (x - mean)^2 variance: the E[x^2]-E[x]^2 form loses ~mean^2/var
         # relative precision in fp32, which is visible after the WavEncoder's
         # large-activation conv stages
-        var = jnp.mean(jnp.square(x - mean), axis=reduce_axes)
+        var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
         if ctx.axis_name is not None:
             var = jax.lax.pmean(var, ctx.axis_name)
         if ctx.bn_updates is not None:
@@ -132,9 +136,11 @@ def batch_norm1d(
                 n = n * jax.lax.psum(1, ctx.axis_name)
             unbiased = var * (n / max(n - 1, 1))
             new_count = p.get("num_batches_tracked", jnp.zeros((), jnp.int32))
+            rm, rv = p["running_mean"], p["running_var"]
             ctx.bn_updates[path] = {
-                "running_mean": (1 - momentum) * p["running_mean"] + momentum * mean,
-                "running_var": (1 - momentum) * p["running_var"] + momentum * unbiased,
+                "running_mean": (1 - momentum) * rm.astype(jnp.float32) + momentum * mean,
+                "running_var": (1 - momentum) * rv.astype(jnp.float32)
+                + momentum * unbiased,
                 "num_batches_tracked": new_count + 1,
             }
     else:

@@ -175,9 +175,13 @@ class StreamingEmageGenerator:
     - the VQ decoders are temporal convolutions, so decoding per chunk differs
       from decoding the concatenated sequence near chunk boundaries (the same
       per-window decode the reference itself uses for the AR seed,
-      modeling_emage_audio.py:412-418);
+      modeling_emage_audio.py:412-418). Measured halo: boundary influence spans
+      <= 8 frames (VQDecoderV5 receptive field); frames further than that from
+      a chunk boundary are fp-exact vs the offline decode
+      (tests/test_serve.py test_streaming_decoded_motion_bound_vs_offline);
     - global translation integrates per chunk, continuing from the previous
-      chunk's final position.
+      chunk's final position (interior drift bounded by the boundary-frame
+      velocity deviations; same test pins the bound).
 
     Usage::
 
@@ -242,21 +246,43 @@ class StreamingEmageGenerator:
         audio = self._audio[start : start + size * self.spf][None]
         return jnp.asarray(audio), jnp.asarray(motion), jnp.asarray(mask)
 
-    def _emit(self, net_out, keep: int) -> "GenerationResult":
-        import jax.numpy as jnp
+    # -- split window lifecycle so StreamingPool can batch step+decode across
+    #    sessions: ready -> (inputs) -> commit(net_out, last) -> decode/emit
 
+    def _has_full_window(self) -> bool:
+        return self._total_samples * FPS // SR >= self._frame_pos + self.window
+
+    def _commit_window(self, net_out, last, keep: int) -> dict:
+        """Advance AR state past one processed window (seed, frame position,
+        audio-buffer trim); return the cropped latent dict for decoding.
+        net_out/last: this session's (1, ...) rows."""
+        self._seed = np.asarray(last)
         cropped = {k: v[:, :keep] for k, v in net_out.items()}
         if self.collect_latents:
             self.latents.append({k: np.asarray(v) for k, v in cropped.items()})
+        self._frame_pos += keep
+        cut = self._frame_pos * self.spf - self._consumed
+        if cut > 0:
+            self._audio = self._audio[cut:]
+            self._consumed += cut
+        return cropped
+
+    def _decode_emit(self, cropped: dict) -> "GenerationResult":
+        import jax.numpy as jnp
+
         sel = self._select(cropped)
         dec = self._decode(self.vq.suite, sel, jnp.asarray(self._trans[:, 0]))
-        trans = np.asarray(dec["trans"])
-        self._trans = trans[:, -1:].copy()
-        return GenerationResult(
-            motion_axis_angle=np.asarray(dec["motion_axis_angle"])[0],
-            expressions=np.asarray(dec["expression"])[0],
-            trans=trans[0],
+        return self._finish_emit(
+            np.asarray(dec["motion_axis_angle"]), np.asarray(dec["expression"]),
+            np.asarray(dec["trans"]),
         )
+
+    def _finish_emit(self, motion, expr, trans) -> "GenerationResult":
+        """Thread the decoded translation into the next chunk's integration
+        start; rows are (1, t, ...)."""
+        self._trans = trans[:, -1:].copy()
+        return GenerationResult(motion_axis_angle=motion[0], expressions=expr[0],
+                                trans=trans[0])
 
     def _empty(self) -> "GenerationResult":
         return GenerationResult(np.zeros((0, 165), np.float32),
@@ -280,19 +306,14 @@ class StreamingEmageGenerator:
         # exact offline window sequence. Gating on frame_pos*533 samples instead
         # fires up to frame/3 samples early and can turn what offline treats as
         # the remainder window into a full window.
-        while self._total_samples * FPS // SR >= self._frame_pos + self.window:
+        while self._has_full_window():
             audio, motion, mask = self._window_inputs(self.window)
             net_out, last = self._step(self.model.params, self.vq.suite, audio,
                                        self._spk, motion, mask)
-            self._seed = np.asarray(last)
-            outs.append(self._emit(net_out, self.stride))
-            self._frame_pos += self.stride
-        # drop consumed samples: long-lived streams must not accumulate the
-        # whole audio history (O(1) memory, O(chunk) work per push)
-        cut = self._frame_pos * self.spf - self._consumed
-        if cut > 0:
-            self._audio = self._audio[cut:]
-            self._consumed += cut
+            # commit also trims consumed samples: long-lived streams must not
+            # accumulate the whole audio history (O(1) memory, O(chunk)/push)
+            cropped = self._commit_window(net_out, last, self.stride)
+            outs.append(self._decode_emit(cropped))
         if not outs:
             return self._empty()
         return GenerationResult(
@@ -313,11 +334,142 @@ class StreamingEmageGenerator:
         audio, motion, mask = self._window_inputs(size)
         net_out, last = self._step(self.model.params, self.vq.suite, audio,
                                    self._spk, motion, mask)
-        self._seed = np.asarray(last)
-        out = self._emit(net_out, size)
-        self._frame_pos += size
-        return out
+        cropped = self._commit_window(net_out, last, size)
+        return self._decode_emit(cropped)
+
+
+class StreamingPool:
+    """Serve many concurrent interactive audio streams from ONE chip by batching
+    their window steps (new capability; no reference equivalent).
+
+    A single stream's window step costs ~latency L while a window is worth
+    stride/30 s of motion (~2 s at the full config), so one chip is idle most of
+    the time at N=1. The pool stacks every session that has a complete window
+    onto the batch axis and runs ONE ``_window_step`` + ONE batched VQ decode per
+    pump — stragglers are padded with replicated rows whose outputs are dropped,
+    keeping a single compiled program for the pool's fixed ``batch`` size.
+
+    Per-stream numerics: each batch row is that session's own audio/seed/mask, so
+    the latent stream of every session equals its single-stream (and therefore
+    offline AR) latents — pinned bit-level on CPU by tests/test_serve.py. (On
+    TPU, batching can change conv accumulation order — the same fp-deviation
+    class as ``batched_wav``, PROFILE.md.)
+
+    Usage::
+
+        pool = StreamingPool(model, vq_model, batch=8)
+        sid = pool.open(speaker_id=0)
+        pool.feed(sid, chunk)            # buffer audio; no device work
+        for sid, res in pool.pump():     # one batched step per ready wave
+            ...                          # res.motion_axis_angle: (t_new, 165)
+        res = pool.flush(sid)            # per-session remainder window
+        pool.close(sid)
+    """
+
+    def __init__(self, model, vq_model, batch: int = 8):
+        import jax
+
+        from .models.emage import _window_step
+        from .models.emage_vq import vq_decode
+
+        self.model = model
+        self.vq = vq_model
+        self.batch = batch
+        self._sessions: dict = {}
+        self._next_id = 0
+        cfg = model.config
+
+        def step(params, suite, audio, spk, motion, mask):
+            return _window_step(params, cfg, suite, audio, spk, motion, mask)
+
+        self._step = jax.jit(step)
+        self._decode = jax.jit(
+            lambda s, sel, rt: vq_decode(s, **sel, get_global_motion=True,
+                                         ref_trans=rt)
+        )
+
+    def open(self, speaker_id: int = 0, collect_latents: bool = False) -> int:
+        sid = self._next_id
+        self._next_id += 1
+        s = StreamingEmageGenerator(
+            self.model, self.vq, speaker_id=speaker_id,
+            collect_latents=collect_latents,
+        )
+        # share the pool's jitted callables: N sessions must not compile N
+        # identical bs-1 programs for their flush/fallback paths (jit caches
+        # by function identity)
+        s._step = self._step
+        s._decode = self._decode
+        self._sessions[sid] = s
+        return sid
+
+    def close(self, sid: int) -> None:
+        del self._sessions[sid]
+
+    def session(self, sid: int) -> StreamingEmageGenerator:
+        return self._sessions[sid]
+
+    def feed(self, sid: int, audio_chunk: np.ndarray) -> None:
+        """Buffer audio for a session (host-only; device work happens in pump)."""
+        s = self._sessions[sid]
+        s._audio = np.concatenate(
+            [s._audio, np.asarray(audio_chunk, np.float32).ravel()]
+        )
+
+    def ready(self) -> List[int]:
+        return [sid for sid, s in self._sessions.items() if s._has_full_window()]
+
+    def pump(self) -> List[tuple]:
+        """Process complete windows across all sessions in batched waves until
+        none remain. Returns [(sid, GenerationResult), ...] in emission order
+        (a session appears once per window it completed)."""
+        import jax.numpy as jnp
+
+        out = []
+        while True:
+            ready = self.ready()[: self.batch]
+            if not ready:
+                return out
+            rows = [self._sessions[sid] for sid in ready]
+            ins = [s._window_inputs(s.window) for s in rows]
+            pad = self.batch - len(rows)
+            stack = lambda xs: jnp.concatenate(list(xs) + [xs[0]] * pad, axis=0)
+            audio = stack([a for a, _, _ in ins])
+            motion = stack([m for _, m, _ in ins])
+            mask = stack([k for _, _, k in ins])
+            spk = jnp.concatenate(
+                [s._spk for s in rows] + [rows[0]._spk] * pad, axis=0
+            )
+            net_out, last = self._step(self.model.params, self.vq.suite, audio,
+                                       spk, motion, mask)
+            # commit per session, then ONE batched decode over the wave
+            cropped = [
+                s._commit_window(
+                    {k: v[i : i + 1] for k, v in net_out.items()},
+                    last[i : i + 1], s.stride,
+                )
+                for i, s in enumerate(rows)
+            ]
+            batched = {k: jnp.concatenate(
+                [c[k] for c in cropped] + [cropped[0][k]] * pad, axis=0)
+                for k in cropped[0]}
+            ref_trans = jnp.concatenate(
+                [jnp.asarray(s._trans[:, 0]) for s in rows]
+                + [jnp.asarray(rows[0]._trans[:, 0])] * pad, axis=0)
+            sel = rows[0]._select(batched)
+            dec = self._decode(self.vq.suite, sel, ref_trans)
+            m = np.asarray(dec["motion_axis_angle"])
+            e = np.asarray(dec["expression"])
+            t = np.asarray(dec["trans"])
+            for i, (sid, s) in enumerate(zip(ready, rows)):
+                out.append((sid, s._finish_emit(m[i : i + 1], e[i : i + 1],
+                                                t[i : i + 1])))
+
+    def flush(self, sid: int) -> "GenerationResult":
+        """Per-session remainder window (sizes differ per session, so this path
+        is unbatched — identical to StreamingEmageGenerator.flush)."""
+        return self._sessions[sid].flush()
 
 
 __all__ = ["EmageGenerator", "GenerationResult", "SequenceGenerator",
-           "StreamingEmageGenerator"]
+           "StreamingEmageGenerator", "StreamingPool"]

@@ -77,6 +77,14 @@ def make_data_mesh(batch_size: int, axis: str = "data") -> Mesh:
     """Largest device count that divides the global batch (shard_map needs equal
     shards; DistributedSampler pads similarly in the reference)."""
     n = len(jax.devices())
+    if jax.process_count() > 1 and batch_size % n:
+        # shrinking the mesh would orphan some process's devices; every process
+        # must own an equal slice of the batch axis (DataLoader yields
+        # batch_size/process_count rows per process)
+        raise ValueError(
+            f"multi-process runs need global batch_size={batch_size} divisible by "
+            f"the global device count {n}"
+        )
     while n > 1 and batch_size % n != 0:
         n -= 1
     return make_mesh(n, (axis,))
@@ -92,12 +100,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place every leaf of a batch pytree with its leading dim sharded over ``axis``."""
+    """Place every leaf of a batch pytree with its leading dim sharded over ``axis``.
+
+    Single process: a plain device_put of the (global) host batch. Multi-process:
+    each process holds only ITS rows (DataLoader yields batch_size/process_count of
+    the global batch, block-ordered so process p's rows land exactly where the
+    single-process run puts them), and ``make_array_from_process_local_data``
+    assembles the global jax.Array over the full mesh without any cross-host copy.
+    """
     sh = data_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), batch
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
 def replicate(tree, mesh: Mesh):
+    """Replicate every leaf over the mesh. Multi-process: leaves must hold the SAME
+    value on every process (train CLIs init params from the same seed); device_put
+    of host data to a fully-replicated NamedSharding is legal across processes."""
+    if jax.process_count() > 1:
+        # normalize to host numpy first: locally-committed jax.Arrays can't be
+        # re-placed onto a global (partially non-addressable) sharding directly
+        tree = jax.tree_util.tree_map(np.asarray, tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, replicated(mesh)), tree)
 
 

@@ -45,12 +45,22 @@ def make_optimizer(
     lr_scheduler: str = "constant",
     warmup_steps: int = 0,
     total_steps: Optional[int] = None,
+    optimizer: str = "adam",
 ) -> optax.GradientTransformation:
+    """optimizer: "adam" (reference default, becomes adamw when weight_decay>0,
+    matching torch AdamW at train_emage_audio.py:255) or "sgd" (plain; used by
+    equivalence tests — Adam's early steps are ~sign(g)*lr, so they amplify
+    last-ulp fp differences between differently compiled but mathematically
+    identical programs; see CLAUDE.md)."""
     schedule = make_schedule(lr_scheduler, learning_rate, warmup_steps, total_steps)
     tx = []
     if max_grad_norm > 0 and clip_parity == "fixed":
         tx.append(optax.clip_by_global_norm(max_grad_norm))
-    if weight_decay > 0:
+    if optimizer == "sgd":
+        tx.append(optax.sgd(schedule))
+    elif optimizer != "adam":
+        raise ValueError(f"unknown optimizer {optimizer!r} (adam|sgd)")
+    elif weight_decay > 0:
         tx.append(optax.adamw(schedule, b1=beta1, b2=beta2, eps=eps, weight_decay=weight_decay))
     else:
         tx.append(optax.adam(schedule, b1=beta1, b2=beta2, eps=eps))

@@ -98,6 +98,42 @@ def _train_ctx(rng, axis_name):
     return Ctx(train=True, rng=rng, axis_name=axis_name, bn_updates={})
 
 
+def _cast_mode(compute_dtype):
+    """Validate/normalize a training compute dtype: None (f32 parity) or bf16."""
+    if compute_dtype in (None, "float32"):
+        return None
+    if compute_dtype == "bfloat16":
+        return jnp.bfloat16
+    raise ValueError(f"unsupported compute_dtype {compute_dtype!r} "
+                     "(float32|bfloat16)")
+
+
+def _cast_inputs(dt, *trees):
+    """Cast float leaves of each tree to the compute dtype (no-op when dt None).
+
+    Used INSIDE loss functions, so autodiff flows cotangents back through the
+    cast: master params stay float32, the network runs in bf16, and grads
+    arrive float32 (standard mixed-precision). Reductions (LayerNorm/softmax/
+    BN batch stats/velocity integration) stay float32 inside the primitives
+    (utils/precision.py), and BN running-stat updates are emitted float32
+    (nn/layers.py), so only elementwise storage precision drops.
+    """
+    if dt is None:
+        return trees if len(trees) > 1 else trees[0]
+    from ..utils.precision import cast_floating
+
+    out = tuple(cast_floating(t, dt) for t in trees)
+    return out if len(out) > 1 else out[0]
+
+
+def _to_f32(tree):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
 def _leaf_at(params, path):
     node = params
     for key in path:
@@ -138,11 +174,17 @@ def make_emage_train_step(
     spmd: str = "pjit",
     gradient_checkpointing: bool = False,
     share_audio_encoder: bool = True,
+    compute_dtype: Optional[str] = None,
 ) -> Callable:
     """EMAGE 3-pass masked objective against frozen VQ targets
     (train_emage_audio.py:130-183). ``gradient_checkpointing`` remats each forward
     pass (solver.gradient_checkpointing parity) — trades ~1/3 more FLOPs for
     activation memory, raising the max batch per chip.
+
+    compute_dtype="bfloat16" (solver.compute_dtype) runs the audio-model forward/
+    backward in bf16 with f32 master params, f32 losses, f32 VQ targets (the
+    frozen suite stays f32), and f32 reductions — see ``_cast_inputs``. Loss
+    trajectory equivalence vs f32 is bounded in tests/test_train_steps.py.
 
     share_audio_encoder: run the two WavEncoders ONCE per step instead of once per
     pass. Their input (raw audio) is identical in all three passes — even pass 3's
@@ -153,6 +195,7 @@ def make_emage_train_step(
     in ``_amplify_bn_updates`` (equivalence test: tests/test_train_steps.py)."""
 
     ctx_axis = axis_name if spmd == "shard_map" else None
+    cdt = _cast_mode(compute_dtype)
 
     def _fwd_with_bn(params, audio, speaker_id, masked_motion, mask, use_audio, rng,
                      audio_features=None):
@@ -170,13 +213,13 @@ def make_emage_train_step(
     )
 
     def loss_fn(trainable, buffers, batch, rng, iteration):
-        params = combine_params(trainable, buffers)
         motion_gt = batch["motion"]  # (bs, t, 165) axis-angle
         bs, t, jc = motion_gt.shape
         j = jc // 3
         rot6d = axis_angle_to_rotation_6d(motion_gt.reshape(bs, t, j, 3)).reshape(bs, t, j * 6)
         speaker_id = jnp.zeros((bs, 1), jnp.int32)
 
+        # targets stay float32: rot6d conversion and the frozen VQ suite
         target_idx = vq_map2index(suite, rot6d, batch["expressions"],
                                   batch["foot_contact"], batch["trans"])
         target_lat = vq_map2latent(suite, rot6d, batch["expressions"],
@@ -187,6 +230,11 @@ def make_emage_train_step(
         masked_motion = jnp.concatenate(
             [rot6d, batch["trans"], batch["foot_contact"]], axis=-1
         )  # (bs, t, 337)
+
+        # compute-dtype boundary: network inputs + trainable leaves cast here
+        # (inside the differentiated function, so grads come back float32)
+        params = combine_params(_cast_inputs(cdt, trainable), buffers)
+        audio_in, masked_motion = _cast_inputs(cdt, batch["audio"], masked_motion)
 
         r_mask, r_drop = jax.random.split(rng)
         w = dict(lu=cfg.lu, ll=cfg.ll, lh=cfg.lh, lf=cfg.lf)
@@ -200,17 +248,19 @@ def make_emage_train_step(
 
             actx = _train_ctx(jax.random.fold_in(r_drop, 0), ctx_axis)
             audio_features = (
-                wav_encoder(params["audio_encoder_face"], batch["audio"],
+                wav_encoder(params["audio_encoder_face"], audio_in,
                             cfg.audio_f, "emage", actx, ("audio_encoder_face",)),
-                wav_encoder(params["audio_encoder_body"], batch["audio"],
+                wav_encoder(params["audio_encoder_body"], audio_in,
                             cfg.audio_f, "emage", actx, ("audio_encoder_body",)),
             )
-            bn_audio = _amplify_bn_updates(params, actx.bn_updates, 3)
+            bn_audio = _amplify_bn_updates(combine_params(trainable, buffers),
+                                           actx.bn_updates, 3)
 
         # pass 1: seed mask (first seed_frames unmasked), audio on
         mask1 = jnp.ones_like(masked_motion).at[:, : cfg.seed_frames].set(0.0)
-        pred1, bn1 = fwd(params, batch["audio"], speaker_id, masked_motion, mask1,
+        pred1, bn1 = fwd(params, audio_in, speaker_id, masked_motion, mask1,
                          True, jax.random.fold_in(r_drop, 1), audio_features)
+        pred1 = _to_f32(pred1)
         losses["rec_seed"] = rec_loss(pred1, target_lat, **w)
         losses["cls_seed"] = cls_loss(pred1, target_idx, **c)
 
@@ -221,15 +271,17 @@ def make_emage_train_step(
             masked_motion.dtype
         )
         params2 = apply_bn_updates(params, bn1)
-        pred2, bn2 = fwd(params2, batch["audio"], speaker_id, masked_motion, mask2,
+        pred2, bn2 = fwd(params2, audio_in, speaker_id, masked_motion, mask2,
                          True, jax.random.fold_in(r_drop, 2), audio_features)
+        pred2 = _to_f32(pred2)
         losses["rec_audio"] = rec_loss(pred2, target_lat, **w)
         losses["cls_audio"] = cls_loss(pred2, target_idx, **c)
 
         # pass 3: same mask, audio off
         params3 = apply_bn_updates(params2, bn2)
-        pred3, bn3 = fwd(params3, batch["audio"], speaker_id, masked_motion, mask2,
+        pred3, bn3 = fwd(params3, audio_in, speaker_id, masked_motion, mask2,
                          False, jax.random.fold_in(r_drop, 3), audio_features)
+        pred3 = _to_f32(pred3)
         losses["rec_mask"] = rec_loss(pred3, target_lat, **w)
         losses["cls_mask"] = cls_loss(pred3, target_idx, **c)
 
@@ -238,8 +290,9 @@ def make_emage_train_step(
         final = apply_bn_updates(params3, bn3)
         if bn_audio is not None:
             final = apply_bn_updates(final, bn_audio)
+        # BN updates are emitted float32 (nn/layers.py); keep master buffers f32
         _, new_buffers = partition_params(final)
-        return all_loss, (losses, new_buffers)
+        return all_loss, (losses, _to_f32(new_buffers))
 
     return _make_step(loss_fn, optimizer, mesh, axis_name, with_iteration=True, spmd=spmd)
 
@@ -250,26 +303,31 @@ def make_camn_train_step(
     mesh: Optional[Mesh] = None,
     axis_name: str = "data",
     spmd: str = "pjit",
+    compute_dtype: Optional[str] = None,
 ) -> Callable:
-    """CaMN geodesic objective (train_camn_audio.py:91-116)."""
+    """CaMN geodesic objective (train_camn_audio.py:91-116). compute_dtype: see
+    make_emage_train_step (rotation math + geodesic loss stay float32)."""
 
     ctx_axis = axis_name if spmd == "shard_map" else None
+    cdt = _cast_mode(compute_dtype)
 
     def loss_fn(trainable, buffers, batch, rng):
-        params = combine_params(trainable, buffers)
         motion_gt = batch["motion"]
         bs, t, jc = motion_gt.shape
         j = jc // 3
         rot6d = axis_angle_to_rotation_6d(motion_gt.reshape(bs, t, j, 3)).reshape(bs, t, j * 6)
         speaker_id = jnp.zeros((bs, 1), jnp.int32)
         ctx = _train_ctx(rng, ctx_axis)
-        pred = camn_forward(params, cfg, batch["audio"], speaker_id, cfg.seed_frames,
-                            seed_motion=rot6d, return_axis_angle=False, ctx=ctx)
-        m_pred = rotation_6d_to_matrix(pred["motion"].reshape(bs, t, j, 6))
+        params = combine_params(_cast_inputs(cdt, trainable), buffers)
+        audio_in, seed_in = _cast_inputs(cdt, batch["audio"], rot6d)
+        pred = camn_forward(params, cfg, audio_in, speaker_id, cfg.seed_frames,
+                            seed_motion=seed_in, return_axis_angle=False, ctx=ctx)
+        m_pred = rotation_6d_to_matrix(
+            pred["motion"].astype(jnp.float32).reshape(bs, t, j, 6))
         m_gt = rotation_6d_to_matrix(rot6d.reshape(bs, t, j, 6))
         loss = geodesic_loss(m_pred, m_gt)
         _, new_buffers = partition_params(apply_bn_updates(params, ctx.bn_updates))
-        return loss, ({"loss": loss, "all_loss": loss}, new_buffers)
+        return loss, ({"loss": loss, "all_loss": loss}, _to_f32(new_buffers))
 
     return _make_step(loss_fn, optimizer, mesh, axis_name, with_iteration=False, spmd=spmd)
 
@@ -280,10 +338,12 @@ def make_disco_train_step(
     mesh: Optional[Mesh] = None,
     axis_name: str = "data",
     spmd: str = "pjit",
+    compute_dtype: Optional[str] = None,
 ) -> Callable:
     """DisCo geodesic + rhythm/content contrastive disentanglement
     (train_disco_audio.py:129-170). Features are L2-normalized along TIME (dim=1),
-    reproducing the reference's F.normalize(fea, dim=1).
+    reproducing the reference's F.normalize(fea, dim=1). compute_dtype: see
+    make_emage_train_step (rotation/contrastive math stays float32).
 
     Note on DP semantics: the contrastive loss is all-pairs within a batch. Under
     spmd="shard_map" each shard contrasts only its local batch — exactly what the
@@ -291,18 +351,21 @@ def make_disco_train_step(
     (more negatives; a strict superset of the reference objective)."""
 
     ctx_axis = axis_name if spmd == "shard_map" else None
+    cdt = _cast_mode(compute_dtype)
 
     def loss_fn(trainable, buffers, batch, rng):
-        params = combine_params(trainable, buffers)
         motion_gt = batch["motion"]
         bs, t, jc = motion_gt.shape
         j = jc // 3
         rot6d = axis_angle_to_rotation_6d(motion_gt.reshape(bs, t, j, 3)).reshape(bs, t, j * 6)
         speaker_id = jnp.zeros((bs, 1), jnp.int32)
         ctx = _train_ctx(rng, ctx_axis)
-        pred = disco_forward(params, cfg, batch["audio"], speaker_id, cfg.seed_frames,
-                             seed_motion=rot6d, return_axis_angle=False, ctx=ctx)
-        m_pred = rotation_6d_to_matrix(pred["motion"].reshape(bs, t, j, 6))
+        params = combine_params(_cast_inputs(cdt, trainable), buffers)
+        audio_in, seed_in = _cast_inputs(cdt, batch["audio"], rot6d)
+        pred = disco_forward(params, cfg, audio_in, speaker_id, cfg.seed_frames,
+                             seed_motion=seed_in, return_axis_angle=False, ctx=ctx)
+        m_pred = rotation_6d_to_matrix(
+            pred["motion"].astype(jnp.float32).reshape(bs, t, j, 6))
         m_gt = rotation_6d_to_matrix(rot6d.reshape(bs, t, j, 6))
         losses = {"loss": geodesic_loss(m_pred, m_gt)}
 
@@ -310,15 +373,17 @@ def make_disco_train_step(
             jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12
         )
         losses["rhythm"] = contrastive_loss(
-            normalize_t(pred["audio_fea_r"]), batch["rhythm_label"]
+            normalize_t(pred["audio_fea_r"].astype(jnp.float32)),
+            batch["rhythm_label"]
         )
         losses["content"] = contrastive_loss(
-            normalize_t(pred["audio_fea_c"]), batch["content_label"]
+            normalize_t(pred["audio_fea_c"].astype(jnp.float32)),
+            batch["content_label"]
         )
         all_loss = sum(losses.values())
         losses["all_loss"] = all_loss
         _, new_buffers = partition_params(apply_bn_updates(params, ctx.bn_updates))
-        return all_loss, (losses, new_buffers)
+        return all_loss, (losses, _to_f32(new_buffers))
 
     return _make_step(loss_fn, optimizer, mesh, axis_name, with_iteration=False, spmd=spmd)
 

@@ -134,16 +134,18 @@ def test_dataset_variants(beat2_root):
 
 
 def test_dataloader_sharding_covers_epoch(beat2_root):
+    # batch_size is the GLOBAL batch: each of 2 ranks yields 4/2=2 rows per step
     ds = BEAT2Dataset([beat2_root], "train", pose_fps=30, variant="emage_footcontact")
     seen = []
     for rank in range(2):
-        dl = DataLoader(ds, batch_size=2, shuffle=True, seed=7,
+        dl = DataLoader(ds, batch_size=4, shuffle=True, seed=7,
                         process_index=rank, process_count=2)
         dl.set_epoch(3)
+        assert dl.local_batch_size == 2
         for batch in dl:
             assert batch["motion"].shape == (2, 32, 165)
             seen.append(batch["motion"].shape[0])
-    assert sum(seen) == len(ds)  # 4 items, 2 ranks x 1 batch of 2 each
+    assert sum(seen) == len(ds)  # 4 items, 2 ranks x 1 local batch of 2 each
 
     # two simulated processes partition every epoch EXACTLY: disjoint index shards
     # whose union is the full epoch (DistributedSampler parity,
@@ -151,7 +153,7 @@ def test_dataloader_sharding_covers_epoch(beat2_root):
     for epoch in range(3):
         shards = []
         for rank in range(2):
-            dl = DataLoader(ds, batch_size=2, shuffle=True, seed=7,
+            dl = DataLoader(ds, batch_size=4, shuffle=True, seed=7,
                             process_index=rank, process_count=2)
             dl.set_epoch(epoch)
             shards.append(dl._indices())

@@ -163,6 +163,101 @@ def test_l1div_and_face_metrics():
     assert np.isfinite(mse.compute(v_gt[:30], v_gt))
 
 
+class _TorchL1div:
+    """Independent torch restatement of the L1div definition recorded in
+    eval/metrics.py (VERDICT r2 weak #6): mean over frames of the L1 norm of
+    the deviation from the temporal mean pose; clip values averaged unweighted."""
+
+    def __init__(self):
+        self.vals = []
+
+    def compute(self, pos):
+        import torch
+
+        x = torch.as_tensor(np.asarray(pos), dtype=torch.float64)
+        dev = (x - x.mean(dim=0, keepdim=True)).abs()
+        v = dev.sum(dim=1).mean().item()
+        self.vals.append(v)
+        return v
+
+    def avg(self):
+        import torch
+
+        return torch.tensor(self.vals).mean().item()
+
+
+class _TorchLVDFace:
+    """Independent torch restatement of LVDFace: forward-difference velocities,
+    per-vertex xyz Euclidean norm of the velocity difference, mean over
+    (frames-1, vertices) after truncation to the common length."""
+
+    def __init__(self):
+        self.vals = []
+
+    def compute(self, p, g):
+        import torch
+
+        p = torch.as_tensor(np.asarray(p), dtype=torch.float64)
+        g = torch.as_tensor(np.asarray(g), dtype=torch.float64)
+        t = min(p.shape[0], g.shape[0])
+        vp = p[: t].reshape(t, -1, 3).diff(dim=0)
+        vg = g[: t].reshape(t, -1, 3).diff(dim=0)
+        v = (vp - vg).norm(dim=2).mean().item()
+        self.vals.append(v)
+        return v
+
+    def avg(self):
+        import torch
+
+        return torch.tensor(self.vals).mean().item()
+
+
+class _TorchMSEFace:
+    """Independent torch restatement of MSEFace: element-mean squared error over
+    every (frame, vertex, xyz) entry after truncation."""
+
+    def __init__(self):
+        self.vals = []
+
+    def compute(self, p, g):
+        import torch
+
+        p = torch.as_tensor(np.asarray(p), dtype=torch.float64)
+        g = torch.as_tensor(np.asarray(g), dtype=torch.float64)
+        t = min(p.shape[0], g.shape[0])
+        v = torch.nn.functional.mse_loss(p[:t], g[:t]).item()
+        self.vals.append(v)
+        return v
+
+    def avg(self):
+        import torch
+
+        return torch.tensor(self.vals).mean().item()
+
+
+def test_l1div_lvd_mse_match_torch_oracles():
+    """The three reconstructed metrics agree with independent torch oracles on
+    random fixtures of realistic shapes — clip values AND the accumulated avg()
+    (unequal clip lengths included, exercising truncation + unweighted
+    averaging). Pins the definitional choices documented in eval/metrics.py
+    (VERDICT r2 next-round item 2a)."""
+    rng = np.random.RandomState(11)
+    l1, ol1 = L1div(), _TorchL1div()
+    lvd, olvd = LVDFace(), _TorchLVDFace()
+    mse, omse = MSEFace(), _TorchMSEFace()
+    for t_pred, t_gt, nv in [(120, 120, 55), (64, 70, 55), (300, 256, 131)]:
+        pos = rng.normal(0, 0.4, (t_pred, nv * 3)).astype(np.float32).cumsum(0)
+        assert l1.compute(pos) == pytest.approx(ol1.compute(pos), rel=1e-5)
+
+        vp = rng.normal(0, 0.02, (t_pred, nv * 3)).astype(np.float32).cumsum(0)
+        vg = vp[:t_gt] + rng.normal(0, 0.01, (min(t_pred, t_gt), nv * 3)).astype(np.float32)
+        assert lvd.compute(vp, vg) == pytest.approx(olvd.compute(vp, vg), rel=1e-4)
+        assert mse.compute(vp, vg) == pytest.approx(omse.compute(vp, vg), rel=1e-5)
+    assert l1.avg() == pytest.approx(ol1.avg(), rel=1e-5)
+    assert lvd.avg() == pytest.approx(olvd.avg(), rel=1e-4)
+    assert mse.avg() == pytest.approx(omse.avg(), rel=1e-5)
+
+
 def test_evaluate_clips_pipeline(tmp_path):
     """End-to-end evaluation_fn parity path on synthetic npz clips + synthetic FK."""
     import jax
