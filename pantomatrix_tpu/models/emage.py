@@ -236,6 +236,19 @@ def _select_decode_inputs(cfg: EmageAudioConfig, net_out):
     return sel
 
 
+def _decoder_halo(suite: EmageVQSuite) -> int:
+    """One-sided temporal receptive field of the VQ part decoders.
+
+    VQDecoderV5 (nn/blocks.py vq_decoder, no stem for these configs since
+    input_size == vae_length): 2 ResBlocks (2 k=3 convs each, ±2 frames) +
+    ``vae_layer`` up convs (±1 each) + final conv (±1) -> 5 + vae_layer.
+    Everything else in vq_decode (quantize, codebook lookup, rotation
+    conversion, mask recovery) is frame-local, so an output frame cannot see
+    inputs further than this many frames away."""
+    return 5 + max(suite.face[1].vae_layer, suite.upper[1].vae_layer,
+                   suite.hands[1].vae_layer, suite.lower[1].vae_layer)
+
+
 def _window_step(params, cfg: EmageAudioConfig, suite: EmageVQSuite,
                  audio_slice, speaker_id, window_motion, window_mask,
                  audio_features=None):
@@ -244,6 +257,14 @@ def _window_step(params, cfg: EmageAudioConfig, suite: EmageVQSuite,
                             window_mask, use_audio=True,
                             audio_features=audio_features)
     sel = _select_decode_inputs(cfg, net_out)
+    # NOTE (profiled candidate, rejected for the parity path): only the last
+    # seed_frames of this decode feed the AR state, and the decoders' receptive
+    # field is _decoder_halo frames, so decoding a seed+halo tail (12 vs 64
+    # frames) is mathematically exact — but XLA picks length-dependent conv
+    # algorithms, so the seed comes back with ~2e-5 fp deviation (measured on
+    # CPU), the same argmax-amplified class as batched_wav. The in-scan decode
+    # is a small share of window time (PROFILE.md), so the parity path keeps
+    # the full-window decode.
     decode = vq_decode(suite, **sel)
     last_motion = decode["all_motion4inference"][:, -cfg.seed_frames :, :]
     # under a low-precision compute dtype the suite stays float32 (decode is ~7% of

@@ -227,24 +227,27 @@ class StreamingEmageGenerator:
             return _window_step(params, cfg, suite, audio, spk, motion, mask)
 
         self._step = jax.jit(step)
-        self._select = lambda net: _select_decode_inputs(cfg, net)
         from .models.emage_vq import vq_decode
 
+        # head routing (argmax) lives INSIDE the jitted decode: on tunneled
+        # platforms an eager per-part argmax costs a device round-trip each
         self._decode = jax.jit(
-            lambda s, sel, rt: vq_decode(s, **sel, get_global_motion=True,
-                                         ref_trans=rt)
+            lambda s, net, rt: vq_decode(s, **_select_decode_inputs(cfg, net),
+                                         get_global_motion=True, ref_trans=rt)
         )
 
     def _window_inputs(self, size: int):
-        import jax.numpy as jnp
-
+        """Host numpy (1, ...) rows — the jitted step transfers them in one batch
+        at call time; StreamingPool stacks rows host-side first so a pump wave
+        crosses the device boundary once per ARRAY, not once per session (the
+        per-session eager-transfer version measured 8x slower at N=8)."""
         motion = np.tile(self._fake_frame, (1, size, 1)).astype(np.float32)
         motion[:, : self.pre] = self._seed
         mask = np.ones_like(motion)
         mask[:, : self.pre] = 0.0
         start = self._frame_pos * self.spf - self._consumed
         audio = self._audio[start : start + size * self.spf][None]
-        return jnp.asarray(audio), jnp.asarray(motion), jnp.asarray(mask)
+        return audio, motion, mask
 
     # -- split window lifecycle so StreamingPool can batch step+decode across
     #    sessions: ready -> (inputs) -> commit(net_out, last) -> decode/emit
@@ -268,10 +271,7 @@ class StreamingEmageGenerator:
         return cropped
 
     def _decode_emit(self, cropped: dict) -> "GenerationResult":
-        import jax.numpy as jnp
-
-        sel = self._select(cropped)
-        dec = self._decode(self.vq.suite, sel, jnp.asarray(self._trans[:, 0]))
+        dec = self._decode(self.vq.suite, cropped, self._trans[:, 0])
         return self._finish_emit(
             np.asarray(dec["motion_axis_angle"]), np.asarray(dec["expression"]),
             np.asarray(dec["trans"]),
@@ -369,7 +369,7 @@ class StreamingPool:
     def __init__(self, model, vq_model, batch: int = 8):
         import jax
 
-        from .models.emage import _window_step
+        from .models.emage import _select_decode_inputs, _window_step
         from .models.emage_vq import vq_decode
 
         self.model = model
@@ -383,9 +383,11 @@ class StreamingPool:
             return _window_step(params, cfg, suite, audio, spk, motion, mask)
 
         self._step = jax.jit(step)
+        # takes the cropped net-out dict; head routing inside the jit (see
+        # StreamingEmageGenerator.__init__)
         self._decode = jax.jit(
-            lambda s, sel, rt: vq_decode(s, **sel, get_global_motion=True,
-                                         ref_trans=rt)
+            lambda s, net, rt: vq_decode(s, **_select_decode_inputs(cfg, net),
+                                         get_global_motion=True, ref_trans=rt)
         )
 
     def open(self, speaker_id: int = 0, collect_latents: bool = False) -> int:
@@ -423,8 +425,6 @@ class StreamingPool:
         """Process complete windows across all sessions in batched waves until
         none remain. Returns [(sid, GenerationResult), ...] in emission order
         (a session appears once per window it completed)."""
-        import jax.numpy as jnp
-
         out = []
         while True:
             ready = self.ready()[: self.batch]
@@ -433,31 +433,31 @@ class StreamingPool:
             rows = [self._sessions[sid] for sid in ready]
             ins = [s._window_inputs(s.window) for s in rows]
             pad = self.batch - len(rows)
-            stack = lambda xs: jnp.concatenate(list(xs) + [xs[0]] * pad, axis=0)
+            # all stacking/padding/slicing happens HOST-side: a wave costs one
+            # device transfer per array + two dispatches (step, decode), not
+            # O(sessions) eager tunnel crossings
+            stack = lambda xs: np.concatenate(list(xs) + [xs[0]] * pad, axis=0)
             audio = stack([a for a, _, _ in ins])
             motion = stack([m for _, m, _ in ins])
             mask = stack([k for _, _, k in ins])
-            spk = jnp.concatenate(
-                [s._spk for s in rows] + [rows[0]._spk] * pad, axis=0
-            )
+            spk = stack([np.asarray(s._spk) for s in rows])
             net_out, last = self._step(self.model.params, self.vq.suite, audio,
                                        spk, motion, mask)
-            # commit per session, then ONE batched decode over the wave
+            net_np = {k: np.asarray(v) for k, v in net_out.items()}
+            last_np = np.asarray(last)
+            # commit per session (host slices), then ONE batched decode
             cropped = [
                 s._commit_window(
-                    {k: v[i : i + 1] for k, v in net_out.items()},
-                    last[i : i + 1], s.stride,
+                    {k: v[i : i + 1] for k, v in net_np.items()},
+                    last_np[i : i + 1], s.stride,
                 )
                 for i, s in enumerate(rows)
             ]
-            batched = {k: jnp.concatenate(
+            batched = {k: np.concatenate(
                 [c[k] for c in cropped] + [cropped[0][k]] * pad, axis=0)
                 for k in cropped[0]}
-            ref_trans = jnp.concatenate(
-                [jnp.asarray(s._trans[:, 0]) for s in rows]
-                + [jnp.asarray(rows[0]._trans[:, 0])] * pad, axis=0)
-            sel = rows[0]._select(batched)
-            dec = self._decode(self.vq.suite, sel, ref_trans)
+            ref_trans = stack([s._trans[:, 0] for s in rows])
+            dec = self._decode(self.vq.suite, batched, ref_trans)
             m = np.asarray(dec["motion_axis_angle"])
             e = np.asarray(dec["expression"])
             t = np.asarray(dec["trans"])

@@ -173,6 +173,10 @@ def _emage_argv(train_meta, test_meta, outdir):
         "solver.max_train_steps=4",
         "solver.steps_per_dispatch=2",
         "solver.optimizer=sgd",
+        # bf16 (the shipped default) has 8-bit-mantissa ulps — last-ulp
+        # reduction-order differences between the gloo and single-process
+        # compilations would swamp the 1e-5 bounds below; pin f32
+        "solver.compute_dtype=float32",
         "validation.validation_steps=4",
         "validation.test_steps=4",
         "model.hidden_size=32", "model.n_layer=1", "model.dropout_prob=0.0",
