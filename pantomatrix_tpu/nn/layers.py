@@ -136,11 +136,13 @@ def batch_norm1d(
                 n = n * jax.lax.psum(1, ctx.axis_name)
             unbiased = var * (n / max(n - 1, 1))
             new_count = p.get("num_batches_tracked", jnp.zeros((), jnp.int32))
-            rm, rv = p["running_mean"], p["running_var"]
+            # accumulate running stats in the batch-stat dtype (float32 under
+            # bf16/f16 compute, float64 under x64 golden tests) — never lower
+            rm = p["running_mean"].astype(mean.dtype)
+            rv = p["running_var"].astype(mean.dtype)
             ctx.bn_updates[path] = {
-                "running_mean": (1 - momentum) * rm.astype(jnp.float32) + momentum * mean,
-                "running_var": (1 - momentum) * rv.astype(jnp.float32)
-                + momentum * unbiased,
+                "running_mean": (1 - momentum) * rm + momentum * mean,
+                "running_var": (1 - momentum) * rv + momentum * unbiased,
                 "num_batches_tracked": new_count + 1,
             }
     else:

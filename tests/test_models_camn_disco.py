@@ -108,3 +108,98 @@ def test_init_shapes_match_oracle():
     for path, leaf in jax.tree_util.tree_leaves_with_path(oracle_tree):
         key = jax.tree_util.keystr(path)
         assert key in flat_ours and flat_ours[key] == leaf.shape, key
+
+
+# ---------------------------------------------------------------------------
+# Train-mode goldens (VERDICT r2 weak #5): torch .train() oracles with shared
+# weights, forward parity + BatchNorm running-stat trajectory, float64-exact.
+# Reference train-mode call sites: /root/reference/train_camn_audio.py:91-124,
+# /root/reference/train_disco_audio.py (same harness shape).
+# ---------------------------------------------------------------------------
+
+def _bn_buffer_leaves(tree, prefix=()):
+    """All (path, {running_mean, running_var, num_batches_tracked}) BN buffers."""
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            if "running_mean" in v:
+                out[prefix + (k,)] = v
+            else:
+                out.update(_bn_buffer_leaves(v, prefix + (k,)))
+    return out
+
+
+def _train_mode_trajectory(make_oracle, jax_forward, make_inputs, n_steps=3):
+    """Run n_steps train-mode forwards through both frameworks in float64,
+    asserting per-step forward parity and identical BN running-stat
+    trajectories (the torch oracle updates its buffers in .train() forward;
+    ours collects ctx.bn_updates which we fold back with apply_bn_updates)."""
+    from pantomatrix_tpu.nn.layers import Ctx, apply_bn_updates
+
+    with jax.enable_x64(True):
+        oracle = make_oracle().double().train()
+        # dropout masks can't match across frameworks; SMALL pins dropout_prob=0
+        # (matching the isolation used by the EMAGE train-mode golden)
+        params = jax.tree_util.tree_map(jnp.asarray, to_pytree(oracle))
+        for step in range(n_steps):
+            t_in, j_in = make_inputs(step)
+            with torch.no_grad():
+                ref = oracle(*t_in)
+            ctx = Ctx(train=True, rng=jax.random.PRNGKey(step), bn_updates={})
+            out = jax_forward(params, *j_in, ctx)
+            for k in ref:
+                np.testing.assert_allclose(
+                    np.asarray(out[k], np.float64), ref[k].double().numpy(),
+                    atol=1e-9, err_msg=f"step {step} output {k}")
+            assert ctx.bn_updates, "train-mode forward collected no BN updates"
+            params = apply_bn_updates(params, ctx.bn_updates)
+            ref_tree = to_pytree(oracle)  # state_dict reflects updated buffers
+            for path, ours in _bn_buffer_leaves(params).items():
+                node = ref_tree
+                for k in path:
+                    node = node[k]
+                np.testing.assert_allclose(
+                    np.asarray(ours["running_mean"], np.float64),
+                    node["running_mean"].astype(np.float64), atol=1e-9,
+                    err_msg=f"step {step} running_mean at {path}")
+                np.testing.assert_allclose(
+                    np.asarray(ours["running_var"], np.float64),
+                    node["running_var"].astype(np.float64), atol=1e-9,
+                    err_msg=f"step {step} running_var at {path}")
+                assert int(ours["num_batches_tracked"]) == step + 1, path
+
+
+def test_camn_train_mode_fp64_golden():
+    cfg = CamnAudioConfig(**SMALL)
+    torch.manual_seed(7)
+    mask = MASK_DICT[cfg.joint_mask]
+
+    def make_inputs(step):
+        rng = np.random.RandomState(100 + step)
+        audio = rng.uniform(-1, 1, (2, AUDIO_SAMPLES)).astype(np.float64)
+        spk = np.array([[step % 4], [(step + 2) % 4]], dtype=np.int64)
+        t_in = (torch.from_numpy(audio), torch.from_numpy(spk), 4, None, mask)
+        return t_in, (jnp.asarray(audio), jnp.asarray(spk))
+
+    def fwd(params, audio, spk, ctx):
+        return camn_forward(params, cfg, audio, spk, ctx=ctx)
+
+    _train_mode_trajectory(lambda: TorchCamn(cfg), fwd, make_inputs)
+
+
+def test_disco_train_mode_fp64_golden():
+    cfg = DiscoAudioConfig(**SMALL)
+    torch.manual_seed(11)
+    mask = MASK_DICT[cfg.joint_mask]
+
+    def make_inputs(step):
+        rng = np.random.RandomState(200 + step)
+        audio = rng.uniform(-1, 1, (2, AUDIO_SAMPLES)).astype(np.float64)
+        spk = np.array([[step % 4], [(step + 1) % 4]], dtype=np.int64)
+        t_in = (torch.from_numpy(audio), torch.from_numpy(spk), 4, mask)
+        return t_in, (jnp.asarray(audio), jnp.asarray(spk))
+
+    def fwd(params, audio, spk, ctx):
+        return disco_forward(params, cfg, audio, spk, ctx=ctx)
+
+    _train_mode_trajectory(lambda: TorchDisco(cfg), fwd, make_inputs)

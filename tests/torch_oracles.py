@@ -10,14 +10,18 @@ import torch.nn as nn
 
 
 def to_pytree(module: nn.Module):
-    """torch module state_dict -> nested dict of numpy arrays (same paths)."""
+    """torch module state_dict -> nested dict of numpy arrays (same paths).
+
+    Copies each tensor: ``.numpy()`` aliases torch storage and ``jnp.asarray``
+    is zero-copy on CPU, so without the copy a train-mode oracle forward that
+    updates BN buffers in place would silently mutate the JAX param tree."""
     tree = {}
     for name, tensor in module.state_dict().items():
         parts = name.split(".")
         node = tree
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1]] = tensor.detach().cpu().numpy()
+        node[parts[-1]] = tensor.detach().cpu().numpy().copy()
     return tree
 
 
