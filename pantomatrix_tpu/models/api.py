@@ -64,11 +64,11 @@ class CamnAudioModel(PretrainedModel):
         return _camn.init_camn(key, self.config)
 
     def __call__(self, audio, speaker_id, seed_frames=4, seed_motion=None,
-                 return_axis_angle=True, ctx=None):
+                 return_axis_angle=True, ctx=None, compute_dtype=None):
         from ..nn.layers import EVAL
         return _camn.camn_forward(
             self.params, self.config, audio, speaker_id, seed_frames, seed_motion,
-            return_axis_angle, ctx or EVAL,
+            return_axis_angle, ctx or EVAL, compute_dtype=compute_dtype,
         )
 
 
@@ -79,11 +79,11 @@ class DiscoAudioModel(PretrainedModel):
         return _disco.init_disco(key, self.config)
 
     def __call__(self, audio, speaker_id, seed_frames=4, seed_motion=None,
-                 return_axis_angle=True, ctx=None):
+                 return_axis_angle=True, ctx=None, compute_dtype=None):
         from ..nn.layers import EVAL
         return _disco.disco_forward(
             self.params, self.config, audio, speaker_id, seed_frames, seed_motion,
-            return_axis_angle, ctx or EVAL,
+            return_axis_angle, ctx or EVAL, compute_dtype=compute_dtype,
         )
 
 

@@ -33,9 +33,23 @@ def camn_forward(
     seed_motion: Optional[jnp.ndarray] = None,
     return_axis_angle: bool = True,
     ctx: Ctx = EVAL,
+    compute_dtype: Optional[str] = None,
 ) -> Dict[str, jnp.ndarray]:
     """audio: (bs, samples) 16 kHz; speaker_id: (bs, 1) int. Returns ``motion`` rot6d
-    (bs, t, 258) and ``motion_axis_angle`` (bs, t, 165)."""
+    (bs, t, 258) and ``motion_axis_angle`` (bs, t, 165).
+
+    compute_dtype: optional low-precision serving mode ("bfloat16") — conv/LSTM/MLP
+    compute in that dtype (f32 reductions inside the primitives, nn/layers.py);
+    the rot6d output and the acos-sensitive axis-angle conversion stay float32.
+    None (default) = float32 parity mode."""
+    if compute_dtype is not None:
+        from ..utils.precision import cast_floating
+
+        dt = jnp.dtype(compute_dtype)
+        params = cast_floating(params, dt)
+        audio = audio.astype(dt)
+        if seed_motion is not None:
+            seed_motion = seed_motion.astype(dt)
     audio_feat = wav_encoder(
         params["audio_encoder"], audio, cfg.audio_f, "camn", ctx, ("audio_encoder",)
     )
@@ -68,6 +82,8 @@ def camn_forward(
     hands_out = mlp(params["hands_out"], hands)
 
     motion = recombine_body_hands(body_out, hands_out)
+    if compute_dtype is not None:
+        motion = motion.astype(jnp.float32)
     out: Dict[str, jnp.ndarray] = {"motion": motion}
     if return_axis_angle:
         out["motion_axis_angle"] = rot6d_seq_to_axis_angle_masked(

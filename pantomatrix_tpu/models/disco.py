@@ -30,7 +30,17 @@ def disco_forward(
     seed_motion: Optional[jnp.ndarray] = None,
     return_axis_angle: bool = True,
     ctx: Ctx = EVAL,
+    compute_dtype: Optional[str] = None,
 ) -> Dict[str, jnp.ndarray]:
+    """compute_dtype: optional low-precision serving mode — see camn_forward."""
+    if compute_dtype is not None:
+        from ..utils.precision import cast_floating
+
+        dt = jnp.dtype(compute_dtype)
+        params = cast_floating(params, dt)
+        audio = audio.astype(dt)
+        if seed_motion is not None:
+            seed_motion = seed_motion.astype(dt)
     audio_feat = wav_encoder(
         params["audio_encoder"], audio, cfg.audio_f, "camn", ctx, ("audio_encoder",)
     )
@@ -59,6 +69,8 @@ def disco_forward(
     )
     body = body[:, :, : cfg.hidden_size] + body[:, :, cfg.hidden_size :]
     motion = mlp(params["body_out"], body)
+    if compute_dtype is not None:
+        motion = motion.astype(jnp.float32)
 
     out: Dict[str, jnp.ndarray] = {
         "motion": motion,

@@ -118,16 +118,18 @@ class SequenceGenerator:
     forward, same padding/trimming scheme as EmageGenerator. Returns per-clip
     (t, 165) axis-angle at the model's pose_fps."""
 
-    def __init__(self, model, batch_size: int = 8, bucket_seconds: float = 8.0):
+    def __init__(self, model, batch_size: int = 8, bucket_seconds: float = 8.0,
+                 compute_dtype: Optional[str] = None):
+        """compute_dtype="bfloat16": opt-in low-precision serving (conv/LSTM/MLP
+        in bf16, f32 reductions + f32 axis-angle conversion — models/camn.py)."""
         import jax
 
         self.model = model
         self.batch_size = batch_size
         self.bucket_samples = int(bucket_seconds * SR)
         self._fwd = jax.jit(
-            lambda a, s: model(a, s, seed_frames=model.config.seed_frames)[
-                "motion_axis_angle"
-            ]
+            lambda a, s: model(a, s, seed_frames=model.config.seed_frames,
+                               compute_dtype=compute_dtype)["motion_axis_angle"]
         )
 
     def _bucket_len(self, n_samples: int) -> int:
@@ -229,12 +231,19 @@ class StreamingEmageGenerator:
         self._step = jax.jit(step)
         from .models.emage_vq import vq_decode
 
-        # head routing (argmax) lives INSIDE the jitted decode: on tunneled
-        # platforms an eager per-part argmax costs a device round-trip each
-        self._decode = jax.jit(
-            lambda s, net, rt: vq_decode(s, **_select_decode_inputs(cfg, net),
-                                         get_global_motion=True, ref_trans=rt)
-        )
+        # head routing (argmax) AND the emit-crop live INSIDE the jitted decode:
+        # the step's net_out never crosses the device boundary (a host round-trip
+        # of every latent leaf measured ~2x slower per pump), and an eager
+        # per-part argmax/slice costs a tunnel round-trip each. ``keep`` is
+        # static (stride on the steady path, the full window on flush);
+        # _select_decode_inputs is frame-local so crop-then-select == select-
+        # then-crop exactly.
+        def decode(s, net, rt, keep):
+            net = {k: v[:, :keep] for k, v in net.items()}
+            return vq_decode(s, **_select_decode_inputs(cfg, net),
+                             get_global_motion=True, ref_trans=rt)
+
+        self._decode = jax.jit(decode, static_argnames="keep")
 
     def _window_inputs(self, size: int):
         """Host numpy (1, ...) rows — the jitted step transfers them in one batch
@@ -255,23 +264,23 @@ class StreamingEmageGenerator:
     def _has_full_window(self) -> bool:
         return self._total_samples * FPS // SR >= self._frame_pos + self.window
 
-    def _commit_window(self, net_out, last, keep: int) -> dict:
+    def _commit_window(self, net_out, last, keep: int) -> None:
         """Advance AR state past one processed window (seed, frame position,
-        audio-buffer trim); return the cropped latent dict for decoding.
-        net_out/last: this session's (1, ...) rows."""
+        audio-buffer trim). net_out/last: this session's (1, ...) rows; net_out
+        stays on device — it is only pulled to host when collecting latents."""
         self._seed = np.asarray(last)
-        cropped = {k: v[:, :keep] for k, v in net_out.items()}
         if self.collect_latents:
-            self.latents.append({k: np.asarray(v) for k, v in cropped.items()})
+            self.latents.append(
+                {k: np.asarray(v[:, :keep]) for k, v in net_out.items()}
+            )
         self._frame_pos += keep
         cut = self._frame_pos * self.spf - self._consumed
         if cut > 0:
             self._audio = self._audio[cut:]
             self._consumed += cut
-        return cropped
 
-    def _decode_emit(self, cropped: dict) -> "GenerationResult":
-        dec = self._decode(self.vq.suite, cropped, self._trans[:, 0])
+    def _decode_emit(self, net_out, keep: int) -> "GenerationResult":
+        dec = self._decode(self.vq.suite, net_out, self._trans[:, 0], keep=keep)
         return self._finish_emit(
             np.asarray(dec["motion_axis_angle"]), np.asarray(dec["expression"]),
             np.asarray(dec["trans"]),
@@ -312,8 +321,8 @@ class StreamingEmageGenerator:
                                        self._spk, motion, mask)
             # commit also trims consumed samples: long-lived streams must not
             # accumulate the whole audio history (O(1) memory, O(chunk)/push)
-            cropped = self._commit_window(net_out, last, self.stride)
-            outs.append(self._decode_emit(cropped))
+            self._commit_window(net_out, last, self.stride)
+            outs.append(self._decode_emit(net_out, self.stride))
         if not outs:
             return self._empty()
         return GenerationResult(
@@ -334,8 +343,8 @@ class StreamingEmageGenerator:
         audio, motion, mask = self._window_inputs(size)
         net_out, last = self._step(self.model.params, self.vq.suite, audio,
                                    self._spk, motion, mask)
-        cropped = self._commit_window(net_out, last, size)
-        return self._decode_emit(cropped)
+        self._commit_window(net_out, last, size)
+        return self._decode_emit(net_out, size)
 
 
 class StreamingPool:
@@ -383,12 +392,14 @@ class StreamingPool:
             return _window_step(params, cfg, suite, audio, spk, motion, mask)
 
         self._step = jax.jit(step)
-        # takes the cropped net-out dict; head routing inside the jit (see
-        # StreamingEmageGenerator.__init__)
-        self._decode = jax.jit(
-            lambda s, net, rt: vq_decode(s, **_select_decode_inputs(cfg, net),
-                                         get_global_motion=True, ref_trans=rt)
-        )
+        # takes the FULL batched net-out (device-resident); head routing and the
+        # static emit-crop inside the jit (see StreamingEmageGenerator.__init__)
+        def decode(s, net, rt, keep):
+            net = {k: v[:, :keep] for k, v in net.items()}
+            return vq_decode(s, **_select_decode_inputs(cfg, net),
+                             get_global_motion=True, ref_trans=rt)
+
+        self._decode = jax.jit(decode, static_argnames="keep")
 
     def open(self, speaker_id: int = 0, collect_latents: bool = False) -> int:
         sid = self._next_id
@@ -443,21 +454,20 @@ class StreamingPool:
             spk = stack([np.asarray(s._spk) for s in rows])
             net_out, last = self._step(self.model.params, self.vq.suite, audio,
                                        spk, motion, mask)
-            net_np = {k: np.asarray(v) for k, v in net_out.items()}
             last_np = np.asarray(last)
-            # commit per session (host slices), then ONE batched decode
-            cropped = [
+            # commit per session (only ``last`` crosses to host; a session that
+            # collects latents additionally pulls its own cropped row), then ONE
+            # batched decode straight off the device-resident net_out — the
+            # padded rows decode too and are dropped at emission
+            for i, s in enumerate(rows):
                 s._commit_window(
-                    {k: v[i : i + 1] for k, v in net_np.items()},
+                    {k: v[i : i + 1] for k, v in net_out.items()}
+                    if s.collect_latents else None,
                     last_np[i : i + 1], s.stride,
                 )
-                for i, s in enumerate(rows)
-            ]
-            batched = {k: np.concatenate(
-                [c[k] for c in cropped] + [cropped[0][k]] * pad, axis=0)
-                for k in cropped[0]}
             ref_trans = stack([s._trans[:, 0] for s in rows])
-            dec = self._decode(self.vq.suite, batched, ref_trans)
+            dec = self._decode(self.vq.suite, net_out, ref_trans,
+                               keep=rows[0].stride)
             m = np.asarray(dec["motion_axis_angle"])
             e = np.asarray(dec["expression"])
             t = np.asarray(dec["trans"])

@@ -100,3 +100,33 @@ def test_bf16_decode_outputs_are_float32(setup):
                         ref_trans=jnp.zeros((audio.shape[0], 1, 3)))
     assert decoded["motion_axis_angle"].dtype == jnp.float32
     assert decoded["trans"].dtype == jnp.float32
+
+
+def test_bf16_camn_disco_close_to_f32():
+    """LSTM-family low-precision serving (models/camn.py, models/disco.py
+    compute_dtype): rot6d motion highly correlated with the f32 parity path,
+    axis-angle output emitted float32."""
+    from pantomatrix_tpu.models.camn import camn_forward, init_camn
+    from pantomatrix_tpu.models.configs import CamnAudioConfig, DiscoAudioConfig
+    from pantomatrix_tpu.models.disco import disco_forward, init_disco
+
+    small = dict(audio_f=128, speaker_f=8, speaker_dims=4, hidden_size=48,
+                 n_layer=2, pose_dims=258, body_dims=78, hands_dims=180,
+                 dropout_prob=0.0)
+    rng = np.random.RandomState(5)
+    audio = jnp.asarray(rng.uniform(-1, 1, (2, 32000)).astype(np.float32))
+    spk = jnp.asarray(np.array([[0], [2]], dtype=np.int64))
+
+    for cfg, init, fwd in (
+        (CamnAudioConfig(**small), init_camn, camn_forward),
+        (DiscoAudioConfig(**small), init_disco, disco_forward),
+    ):
+        params = init(jax.random.PRNGKey(3), cfg)
+        out32 = fwd(params, cfg, audio, spk)
+        out16 = fwd(params, cfg, audio, spk, compute_dtype="bfloat16")
+        assert out16["motion"].dtype == jnp.float32
+        assert out16["motion_axis_angle"].dtype == jnp.float32
+        a = np.asarray(out32["motion"], np.float64).ravel()
+        b = np.asarray(out16["motion"], np.float64).ravel()
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.98, (type(cfg).__name__, corr)
