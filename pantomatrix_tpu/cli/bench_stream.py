@@ -72,7 +72,8 @@ def main():
         assert all(np.isfinite(r.motion_axis_angle).all() for _, r in out)
     times = sorted(times)
     med = times[len(times) // 2]
-    p90 = times[min(len(times) - 1, int(len(times) * 0.9))]
+    # nearest-rank p90: ceil(0.9*n)-1 (int(n*0.9) would select the MAX at n=10)
+    p90 = times[max(0, -(-9 * len(times) // 10) - 1)]
     stride_s = (cfg.pose_length - cfg.seed_frames) / 30.0
     print(json.dumps({
         "sessions": n, "repeats": args.repeats,

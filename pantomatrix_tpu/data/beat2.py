@@ -172,9 +172,11 @@ class DataLoader:
         gb, lb = self.batch_size, self.local_batch_size
         nb = n // gb
         if not self.drop_last and n % gb:
-            # pad the tail batch by wrap-around (DistributedSampler pads the same way)
+            # pad the tail batch by wrap-around (DistributedSampler pads the same
+            # way); np.resize tiles idx as many times as needed, so datasets
+            # smaller than one global batch pad correctly too
             nb += 1
-            idx = np.concatenate([idx, idx[: nb * gb - n]])
+            idx = np.concatenate([idx, np.resize(idx, nb * gb - n)])
         # global batch k rows [p*lb:(p+1)*lb] -> process p's local batch k
         return idx[: nb * gb].reshape(nb, self.process_count, lb)[:, self.process_index].reshape(-1)
 

@@ -244,7 +244,11 @@ def _decoder_halo(suite: EmageVQSuite) -> int:
     ``vae_layer`` up convs (±1 each) + final conv (±1) -> 5 + vae_layer.
     Everything else in vq_decode (quantize, codebook lookup, rotation
     conversion, mask recovery) is frame-local, so an output frame cannot see
-    inputs further than this many frames away."""
+    inputs further than this many frames away. Chunked-decode exactness is
+    therefore asymmetric in boundary-INDEX terms: frame f of chunk
+    [start, end) matches the full-sequence decode iff f-start >= halo AND
+    end-1-f >= halo (empirically tight on both sides —
+    tests/test_serve.py test_streaming_decoded_motion_bound_vs_offline)."""
     return 5 + max(suite.face[1].vae_layer, suite.upper[1].vae_layer,
                    suite.hands[1].vae_layer, suite.lower[1].vae_layer)
 

@@ -163,6 +163,35 @@ class SequenceGenerator:
 
 
 
+def _jit_window_callables(cfg):
+    """(jitted window step, jitted decode) shared by the streaming engines.
+
+    Head routing (argmax) AND the emit-crop live INSIDE the jitted decode: the
+    step's net_out never crosses the device boundary (a host round-trip of
+    every latent leaf measured ~2x slower per pump wave), and an eager
+    per-part argmax/slice costs a tunnel round-trip each. ``keep`` is static
+    (stride on the steady path, the full window on flush);
+    _select_decode_inputs is frame-local so crop-then-select ==
+    select-then-crop exactly. Each call returns FRESH jit wrappers (jax caches
+    traces by function identity) — StreamingPool shares one pair across all its
+    sessions so N sessions never compile N identical programs.
+    """
+    import jax
+
+    from .models.emage import _select_decode_inputs, _window_step
+    from .models.emage_vq import vq_decode
+
+    def step(params, suite, audio, spk, motion, mask):
+        return _window_step(params, cfg, suite, audio, spk, motion, mask)
+
+    def decode(s, net, rt, keep):
+        net = {k: v[:, :keep] for k, v in net.items()}
+        return vq_decode(s, **_select_decode_inputs(cfg, net),
+                         get_global_motion=True, ref_trans=rt)
+
+    return jax.jit(step), jax.jit(decode, static_argnames="keep")
+
+
 class StreamingEmageGenerator:
     """Incremental (low-latency) EMAGE generation: push 16 kHz audio as it
     arrives, receive motion frames as soon as each 64-frame window completes.
@@ -177,9 +206,11 @@ class StreamingEmageGenerator:
     - the VQ decoders are temporal convolutions, so decoding per chunk differs
       from decoding the concatenated sequence near chunk boundaries (the same
       per-window decode the reference itself uses for the AR seed,
-      modeling_emage_audio.py:412-418). Measured halo: boundary influence spans
-      <= 8 frames (VQDecoderV5 receptive field); frames further than that from
-      a chunk boundary are fp-exact vs the offline decode
+      modeling_emage_audio.py:412-418). The influence halo is the decoder
+      receptive field (models/emage.py _decoder_halo = 5 + vae_layer frames, 7
+      at these configs): a frame at least halo frames after its chunk's start
+      AND halo frames before its chunk's last frame is fp-exact vs the offline
+      decode — verified tight on both sides
       (tests/test_serve.py test_streaming_decoded_motion_bound_vs_offline);
     - global translation integrates per chunk, continuing from the previous
       chunk's final position (interior drift bounded by the boundary-frame
@@ -195,10 +226,9 @@ class StreamingEmageGenerator:
 
     def __init__(self, model, vq_model, speaker_id: int = 0,
                  collect_latents: bool = False):
-        import jax
         import jax.numpy as jnp
 
-        from .models.emage import SAMPLES_PER_FRAME, _select_decode_inputs, _window_step
+        from .models.emage import SAMPLES_PER_FRAME
 
         self.model = model
         self.vq = vq_model
@@ -225,25 +255,7 @@ class StreamingEmageGenerator:
         # expression = face_mix[:, :, 6:])
         self._expr_dim = self.vq.suite.face[1].vae_test_dim - 6
 
-        def step(params, suite, audio, spk, motion, mask):
-            return _window_step(params, cfg, suite, audio, spk, motion, mask)
-
-        self._step = jax.jit(step)
-        from .models.emage_vq import vq_decode
-
-        # head routing (argmax) AND the emit-crop live INSIDE the jitted decode:
-        # the step's net_out never crosses the device boundary (a host round-trip
-        # of every latent leaf measured ~2x slower per pump), and an eager
-        # per-part argmax/slice costs a tunnel round-trip each. ``keep`` is
-        # static (stride on the steady path, the full window on flush);
-        # _select_decode_inputs is frame-local so crop-then-select == select-
-        # then-crop exactly.
-        def decode(s, net, rt, keep):
-            net = {k: v[:, :keep] for k, v in net.items()}
-            return vq_decode(s, **_select_decode_inputs(cfg, net),
-                             get_global_motion=True, ref_trans=rt)
-
-        self._decode = jax.jit(decode, static_argnames="keep")
+        self._step, self._decode = _jit_window_callables(cfg)
 
     def _window_inputs(self, size: int):
         """Host numpy (1, ...) rows — the jitted step transfers them in one batch
@@ -376,30 +388,12 @@ class StreamingPool:
     """
 
     def __init__(self, model, vq_model, batch: int = 8):
-        import jax
-
-        from .models.emage import _select_decode_inputs, _window_step
-        from .models.emage_vq import vq_decode
-
         self.model = model
         self.vq = vq_model
         self.batch = batch
         self._sessions: dict = {}
         self._next_id = 0
-        cfg = model.config
-
-        def step(params, suite, audio, spk, motion, mask):
-            return _window_step(params, cfg, suite, audio, spk, motion, mask)
-
-        self._step = jax.jit(step)
-        # takes the FULL batched net-out (device-resident); head routing and the
-        # static emit-crop inside the jit (see StreamingEmageGenerator.__init__)
-        def decode(s, net, rt, keep):
-            net = {k: v[:, :keep] for k, v in net.items()}
-            return vq_decode(s, **_select_decode_inputs(cfg, net),
-                             get_global_motion=True, ref_trans=rt)
-
-        self._decode = jax.jit(decode, static_argnames="keep")
+        self._step, self._decode = _jit_window_callables(model.config)
 
     def open(self, speaker_id: int = 0, collect_latents: bool = False) -> int:
         sid = self._next_id

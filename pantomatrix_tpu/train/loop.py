@@ -245,8 +245,11 @@ def run_training(
             # selection: a stats-embedder number is incomparable to an
             # aeskconv one (eval/metrics.py FGD.embedder_kind)
             embedder = str(tmetrics.get("fgd_embedder", ""))
-            if embedder and embedder != best_test_embedder:
-                if best_test_embedder:
+            if embedder != best_test_embedder:
+                # an unknown previous embedder ("" — e.g. a checkpoint resumed
+                # from before provenance was recorded) is just as incomparable
+                # as a known different one, so any finite best_test resets
+                if best_test != float("inf"):
                     print(f"test: fgd embedder changed "
                           f"{best_test_embedder!r} -> {embedder!r}; "
                           "resetting test_best tracking")

@@ -57,6 +57,10 @@ def make_optimizer(
     if max_grad_norm > 0 and clip_parity == "fixed":
         tx.append(optax.clip_by_global_norm(max_grad_norm))
     if optimizer == "sgd":
+        if weight_decay > 0:
+            # decoupled decay, same convention as the adamw branch — never
+            # silently drop a configured regularizer
+            tx.append(optax.add_decayed_weights(weight_decay))
         tx.append(optax.sgd(schedule))
     elif optimizer != "adam":
         raise ValueError(f"unknown optimizer {optimizer!r} (adam|sgd)")

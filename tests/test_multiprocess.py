@@ -73,6 +73,24 @@ def test_dataloader_exact_partition(n, gb, pcount):
                 assert not set(shards[p][k]) & set(shards[q][k])
 
 
+@pytest.mark.parametrize("n,gb,pcount", [(3, 8, 2), (6, 8, 2), (5, 4, 4), (11, 8, 2)])
+def test_dataloader_pad_smaller_than_global_batch(n, gb, pcount):
+    """drop_last=False wrap-around pad must tile the index stream as many times
+    as needed — datasets smaller than one global batch included (regression:
+    a single-wrap pad raised ValueError on reshape)."""
+    from pantomatrix_tpu.data.beat2 import DataLoader
+
+    seen = []
+    for p in range(pcount):
+        dl = DataLoader(_IdxDataset(n), gb, shuffle=False, process_index=p,
+                        process_count=pcount, drop_last=False)
+        for batch in _epoch_batches(dl):
+            assert len(batch) == gb // pcount
+            seen.extend(batch.tolist())
+    # every dataset element appears at least once across the processes
+    assert set(range(n)) <= set(seen)
+
+
 def test_dataloader_epoch_reshuffles_consistently():
     from pantomatrix_tpu.data.beat2 import DataLoader
 

@@ -262,7 +262,11 @@ def test_streaming_decoded_motion_bound_vs_offline():
     from pantomatrix_tpu.core.rotations import axis_angle_to_matrix
     from pantomatrix_tpu.models.api import EmageAudioModel
     from pantomatrix_tpu.models.configs import EmageAudioConfig
-    from pantomatrix_tpu.models.emage import _select_decode_inputs, emage_inference
+    from pantomatrix_tpu.models.emage import (
+        _decoder_halo,
+        _select_decode_inputs,
+        emage_inference,
+    )
     from pantomatrix_tpu.serve import StreamingEmageGenerator
 
     cfg = EmageAudioConfig(
@@ -301,10 +305,18 @@ def test_streaming_decoded_motion_bound_vs_offline():
         return np.arccos(tr).max(1)
 
     stride = cfg.pose_length - cfg.seed_frames
-    boundary_dist = np.array([
-        min(abs(f - b) for b in range(0, T + 1, stride)) for f in range(T)
-    ])
-    interior = boundary_dist >= 8
+    # analytic receptive-field bound (models/emage.py _decoder_halo): a frame is
+    # interior iff its +-halo window lies inside its own chunk, i.e. at least
+    # halo frames after the chunk start AND halo frames before the chunk's LAST
+    # frame (= halo+1 before the next chunk's start index — the bound is
+    # asymmetric in boundary-index terms; empirically frames at exactly these
+    # limits are already fp-exact, one frame closer on either side is not)
+    halo = _decoder_halo(vq.suite)
+    assert halo <= 8, halo
+    bounds = list(range(0, T, stride)) + [T]
+    starts = np.array([max(b for b in bounds if b <= f) for f in range(T)])
+    ends = np.array([min(b for b in bounds if b > f) for f in range(T)])
+    interior = (np.arange(T) - starts >= halo) & (ends - np.arange(T) > halo)
     assert interior.sum() >= T // 3  # the bound must cover a substantial interior
 
     geo = geodesic_per_frame(m_off, m_s)
