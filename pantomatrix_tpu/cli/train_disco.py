@@ -69,9 +69,9 @@ def main():
     from ..models.disco import disco_forward, init_disco
     from ..train.loop import TrainLoopConfig, run_training
     from ..train.mesh import (
-        make_data_mesh,
+        make_train_mesh,
+        place_train_state,
         maybe_init_distributed,
-        replicate,
         shard_batch,
     )
     from ..train.optim import make_optimizer
@@ -92,7 +92,10 @@ def main():
     model_cfg = DiscoAudioConfig.from_dict(cfg.model.to_dict())
     params = init_disco(jax.random.PRNGKey(cfg.seed), model_cfg)
 
-    mesh = make_data_mesh(int(cfg.data.train_bs))
+    mesh = make_train_mesh(int(cfg.data.train_bs),
+                           int(cfg.solver.get("fsdp_model_axis", 1)))
+    placement = ("inherit" if "model" in mesh.axis_names
+                 and mesh.shape["model"] > 1 else "replicated")
     optimizer = make_optimizer(
         learning_rate=float(cfg.solver.learning_rate),
         beta1=cfg.solver.adam_beta1, beta2=cfg.solver.adam_beta2,
@@ -105,10 +108,10 @@ def main():
         optimizer=cfg.solver.get("optimizer", "adam"),
     )
     step_fn = make_disco_train_step(model_cfg, optimizer, mesh,
-                                    compute_dtype=cfg.solver.get("compute_dtype"))
+                                    compute_dtype=cfg.solver.get("compute_dtype"),
+                                    param_placement=placement)
     opt_state = init_opt_state(optimizer, params)
-    params = replicate(params, mesh)
-    opt_state = replicate(opt_state, mesh)
+    params, opt_state = place_train_state(params, opt_state, mesh)
 
     train_ds = BEAT2Dataset(cfg.data.meta_paths, "train", model_cfg.pose_fps,
                             model_cfg.audio_sr, model_cfg.joint_mask, variant="disco")

@@ -47,9 +47,9 @@ def main():
     from ..models.emage_vq import vq_decode
     from ..train.loop import TrainLoopConfig, run_training
     from ..train.mesh import (
-        make_data_mesh,
+        make_train_mesh,
         maybe_init_distributed,
-        replicate,
+        place_train_state,
         shard_batch,
     )
     from ..train.optim import make_optimizer
@@ -77,7 +77,10 @@ def main():
     params = init_emage(jax.random.PRNGKey(cfg.seed), model_cfg)
     suite = load_suite(vq_args.vq_path, vq_args.random_vq)
 
-    mesh = make_data_mesh(int(cfg.data.train_bs))
+    mesh = make_train_mesh(int(cfg.data.train_bs),
+                           int(cfg.solver.get("fsdp_model_axis", 1)))
+    placement = ("inherit" if "model" in mesh.axis_names
+                 and mesh.shape["model"] > 1 else "replicated")
     optimizer = make_optimizer(
         learning_rate=float(cfg.solver.learning_rate),
         beta1=cfg.solver.adam_beta1, beta2=cfg.solver.adam_beta2,
@@ -95,10 +98,10 @@ def main():
         gradient_checkpointing=bool(cfg.solver.get("gradient_checkpointing", False)),
         share_audio_encoder=bool(cfg.solver.get("share_audio_encoder", True)),
         compute_dtype=cfg.solver.get("compute_dtype"),
+        param_placement=placement,
     )
     opt_state = init_opt_state(optimizer, params)
-    params = replicate(params, mesh)
-    opt_state = replicate(opt_state, mesh)
+    params, opt_state = place_train_state(params, opt_state, mesh)
 
     train_ds = BEAT2Dataset(cfg.data.meta_paths, "train", model_cfg.pose_fps,
                             model_cfg.audio_sr, None, variant="emage_footcontact")

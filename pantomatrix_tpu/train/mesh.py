@@ -90,9 +90,78 @@ def make_data_mesh(batch_size: int, axis: str = "data") -> Mesh:
     return make_mesh(n, (axis,))
 
 
+def make_train_mesh(batch_size: int, model_axis: int = 1) -> Mesh:
+    """Training mesh from config: 1D ("data",) when model_axis<=1 (DDP parity),
+    else a 2D ("data", "model") mesh for FSDP/ZeRO-3 param sharding
+    (solver.fsdp_model_axis in the train CLIs)."""
+    if model_axis <= 1:
+        return make_data_mesh(batch_size)
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "fsdp_model_axis>1 with multi-process training is not supported yet: "
+            "the val/test passes pull params to host assuming replicated leaves "
+            "(eval/test_flow.py local_params). Use FSDP on single-process "
+            "multi-chip hosts, or model_axis=1 across processes."
+        )
+    n = len(jax.devices())
+    if n % model_axis:
+        raise ValueError(f"fsdp_model_axis={model_axis} must divide the device "
+                         f"count {n}")
+    dp = n // model_axis
+    if batch_size % dp:
+        raise ValueError(f"global batch_size={batch_size} must divide over the "
+                         f"data axis ({dp} of {n} devices at "
+                         f"fsdp_model_axis={model_axis})")
+    return make_mesh(n, ("data", "model"), (dp, model_axis))
+
+
+def place_train_state(params, opt_state, mesh: Mesh):
+    """Initial placement for (params, opt_state) on a training mesh: FSDP-sharded
+    over the model axis when the mesh has one (size>1), replicated otherwise.
+    Matches the step's param_placement: "inherit" steps keep whatever this
+    chose; "replicated" steps require the replicated form."""
+    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+        return (shard_tree_fsdp(params, mesh, "model"),
+                shard_tree_fsdp(opt_state, mesh, "model"))
+    return replicate(params, mesh), replicate(opt_state, mesh)
+
+
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Batch-axis sharding: leading dim split over the data axis."""
     return NamedSharding(mesh, P(axis))
+
+
+def fsdp_spec(shape, mesh: Mesh, axis: str = "model") -> "P":
+    """FSDP/ZeRO-3 placement rule for one param leaf: shard the LARGEST dim that
+    divides the model-axis size; replicate small/indivisible leaves (biases, BN
+    vectors, scalars). Purely shape-based, so the same rule applies to optimizer
+    moments (same shapes) without knowing the optax state structure."""
+    size = mesh.shape[axis]
+    if size == 1 or not shape:
+        return P()
+    dims = [d for d in range(len(shape)) if shape[d] % size == 0 and shape[d] >= size]
+    if not dims:
+        return P()
+    best = max(dims, key=lambda d: shape[d])
+    spec = [None] * len(shape)
+    spec[best] = axis
+    return P(*spec)
+
+
+def shard_tree_fsdp(tree, mesh: Mesh, axis: str = "model"):
+    """Place every leaf of a pytree per ``fsdp_spec`` (params, opt state, or any
+    tree of arrays). Params live sharded in HBM; GSPMD all-gathers them at use
+    and reduce-scatters gradients — ZeRO-3 semantics with zero backend code.
+    The train steps inherit input shardings for params/opt_state
+    (train/steps.py ``_make_step``), so placing trees with this helper before
+    training is the whole opt-in."""
+    def place(x):
+        x = np.asarray(x) if not hasattr(x, "sharding") else x
+        return jax.device_put(
+            x, NamedSharding(mesh, fsdp_spec(np.shape(x), mesh, axis))
+        )
+
+    return jax.tree_util.tree_map(place, tree)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -127,5 +196,6 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, replicated(mesh)), tree)
 
 
-__all__ = ["data_sharding", "make_data_mesh", "make_mesh", "maybe_init_distributed",
-           "replicate", "replicated", "shard_batch"]
+__all__ = ["data_sharding", "fsdp_spec", "make_data_mesh", "make_mesh",
+           "make_train_mesh", "maybe_init_distributed", "place_train_state",
+           "replicate", "replicated", "shard_batch", "shard_tree_fsdp"]

@@ -172,6 +172,7 @@ def make_emage_train_step(
     axis_name: str = "data",
     mask_schedule: str = "reference",
     spmd: str = "pjit",
+    param_placement: str = "replicated",
     gradient_checkpointing: bool = False,
     share_audio_encoder: bool = True,
     compute_dtype: Optional[str] = None,
@@ -294,7 +295,8 @@ def make_emage_train_step(
         _, new_buffers = partition_params(final)
         return all_loss, (losses, _to_f32(new_buffers))
 
-    return _make_step(loss_fn, optimizer, mesh, axis_name, with_iteration=True, spmd=spmd)
+    return _make_step(loss_fn, optimizer, mesh, axis_name, with_iteration=True, spmd=spmd,
+                      param_placement=param_placement)
 
 
 def make_camn_train_step(
@@ -303,6 +305,7 @@ def make_camn_train_step(
     mesh: Optional[Mesh] = None,
     axis_name: str = "data",
     spmd: str = "pjit",
+    param_placement: str = "replicated",
     compute_dtype: Optional[str] = None,
 ) -> Callable:
     """CaMN geodesic objective (train_camn_audio.py:91-116). compute_dtype: see
@@ -329,7 +332,8 @@ def make_camn_train_step(
         _, new_buffers = partition_params(apply_bn_updates(params, ctx.bn_updates))
         return loss, ({"loss": loss, "all_loss": loss}, _to_f32(new_buffers))
 
-    return _make_step(loss_fn, optimizer, mesh, axis_name, with_iteration=False, spmd=spmd)
+    return _make_step(loss_fn, optimizer, mesh, axis_name, with_iteration=False, spmd=spmd,
+                      param_placement=param_placement)
 
 
 def make_disco_train_step(
@@ -338,6 +342,7 @@ def make_disco_train_step(
     mesh: Optional[Mesh] = None,
     axis_name: str = "data",
     spmd: str = "pjit",
+    param_placement: str = "replicated",
     compute_dtype: Optional[str] = None,
 ) -> Callable:
     """DisCo geodesic + rhythm/content contrastive disentanglement
@@ -385,7 +390,8 @@ def make_disco_train_step(
         _, new_buffers = partition_params(apply_bn_updates(params, ctx.bn_updates))
         return all_loss, (losses, _to_f32(new_buffers))
 
-    return _make_step(loss_fn, optimizer, mesh, axis_name, with_iteration=False, spmd=spmd)
+    return _make_step(loss_fn, optimizer, mesh, axis_name, with_iteration=False, spmd=spmd,
+                      param_placement=param_placement)
 
 
 # ---------------------------------------------------------------------------
@@ -393,7 +399,8 @@ def make_disco_train_step(
 # ---------------------------------------------------------------------------
 
 def _make_step(loss_fn, optimizer, mesh: Optional[Mesh], axis_name: str,
-               with_iteration: bool, spmd: str = "pjit"):
+               with_iteration: bool, spmd: str = "pjit",
+               param_placement: str = "replicated"):
     """Wrap a loss into a sharded update step.
 
     spmd="pjit" (default): plain jit with GSPMD sharding constraints — batch sharded
@@ -405,6 +412,16 @@ def _make_step(loss_fn, optimizer, mesh: Optional[Mesh], axis_name: str,
 
     spmd="shard_map": explicit per-shard program with lax.pmean for grads/losses and
     per-shard rng folds — kept for explicit-collective workflows.
+
+    param_placement (pjit path only):
+    - "replicated" (default, DDP parity): params/opt_state forced replicated.
+    - "inherit" (FSDP/ZeRO-3 over a ("data", "model") mesh): params/opt_state
+      keep the sharding the CALLER placed them with (train/mesh.py
+      shard_tree_fsdp shards the largest divisible dim of every leaf over the
+      model axis); GSPMD all-gathers weights at use and reduce-scatters
+      gradients, so per-device param+opt memory drops ~model-axis-fold while
+      the math stays the global-batch DDP math (tests/test_train_steps.py
+      pins FSDP == replicated to f32 accumulation noise).
     """
     if mesh is None:
         mesh = Mesh(np.asarray(jax.devices()[:1]), (axis_name,))
@@ -433,6 +450,7 @@ def _make_step(loss_fn, optimizer, mesh: Optional[Mesh], axis_name: str,
         jitted = jax.jit(mapped, donate_argnums=(0, 1))
         jitted.raw = mapped  # un-jitted body: composable into larger programs
         jitted.mesh, jitted.axis_name = mesh, axis_name
+        jitted.param_placement = "replicated"
         return jitted
 
     # pjit path: the loss is a global mean, so no explicit collectives are needed.
@@ -448,10 +466,20 @@ def _make_step(loss_fn, optimizer, mesh: Optional[Mesh], axis_name: str,
 
     replicated = NamedSharding(mesh, P())
     sharded = NamedSharding(mesh, P(axis_name))
+    if param_placement == "inherit":
+        # None = inherit the caller's placement (FSDP-sharded trees stay
+        # sharded; replicated trees stay replicated); outputs left to GSPMD,
+        # which preserves donated buffers' shardings
+        state_in, state_out = None, None
+    elif param_placement == "replicated":
+        state_in, state_out = replicated, replicated
+    else:
+        raise ValueError(f"unknown param_placement {param_placement!r} "
+                         "(replicated|inherit)")
     jitted = jax.jit(
         step,
-        in_shardings=(replicated, replicated, sharded, replicated, replicated),
-        out_shardings=(replicated, replicated, replicated),
+        in_shardings=(state_in, state_in, sharded, replicated, replicated),
+        out_shardings=(state_out, state_out, replicated),
         donate_argnums=(0, 1),
     )
     # un-jitted body: lets callers fuse many steps into one device program (e.g. a
@@ -459,6 +487,7 @@ def _make_step(loss_fn, optimizer, mesh: Optional[Mesh], axis_name: str,
     # per-call host<->device traffic would otherwise dominate on tunneled platforms)
     jitted.raw = step
     jitted.mesh, jitted.axis_name = mesh, axis_name
+    jitted.param_placement = param_placement
     return jitted
 
 
@@ -501,13 +530,18 @@ def make_multi_step(step: Callable, k: int) -> Callable:
     if mesh is None:
         return jax.jit(many, donate_argnums=(0, 1))
     # mirror the per-step shardings: batch leaves carry (k, batch, ...) so the data
-    # axis moves to dim 1; params/opt/rng/iteration replicated, outputs replicated
+    # axis moves to dim 1; params/opt follow the step's param_placement
+    # (replicated, or inherited for FSDP-sharded state); rng/iteration replicated
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P(None, step.axis_name))
+    if getattr(step, "param_placement", "replicated") == "inherit":
+        state_in, state_out = None, None
+    else:
+        state_in, state_out = replicated, replicated
     return jax.jit(
         many,
-        in_shardings=(replicated, replicated, batch_sharded, replicated, replicated),
-        out_shardings=(replicated, replicated, replicated),
+        in_shardings=(state_in, state_in, batch_sharded, replicated, replicated),
+        out_shardings=(state_out, state_out, replicated),
         donate_argnums=(0, 1),
     )
 

@@ -294,3 +294,13 @@ def test_train_camn_writes_metrics_jsonl(tmp_path, mini_beat2):
     assert os.path.exists(mfile)
     recs = [_json.loads(l) for l in open(mfile)]
     assert recs and all("step" in r and "loss" in r for r in recs)
+
+
+def test_train_camn_fsdp_debug(tmp_path, mini_beat2):
+    """solver.fsdp_model_axis=2 trains over a ("data","model") mesh end to end:
+    params/opt sharded (ZeRO-3 via GSPMD), checkpoints still written as full
+    host arrays (single-process leaves are fully addressable)."""
+    from pantomatrix_tpu.cli.train_camn import main
+
+    _run_cli(main, tmp_path, mini_beat2,
+             extra=["solver.fsdp_model_axis=4"])  # 8 devices -> data axis 2, bs 2

@@ -606,3 +606,80 @@ def test_best_test_metric_persists_in_train_state(tmp_path):
     _, _, it, extra = load_train_state(str(tmp_path / "last.bin"), p2,
                                        init_opt_state(opt, p2))
     assert it == 5 and extra["metric"] == 0.7 and extra["best_test"] == 1.25
+
+
+def test_fsdp_param_sharding_matches_replicated():
+    """FSDP/ZeRO-3 over a 2D ("data","model") mesh == replicated DDP math.
+
+    params + opt state live sharded (train/mesh.py shard_tree_fsdp: largest
+    divisible dim of every leaf over the model axis); the step inherits that
+    placement (param_placement="inherit") and GSPMD inserts the all-gathers/
+    reduce-scatters. The first SGD step must match the replicated 8-device run
+    to f32 accumulation noise (GSPMD re-partitions contractions, so bit
+    identity is not expected — a (data, model=1) mesh IS bit-identical,
+    checked too), the 3-step loss trajectory stays bounded (random-weight
+    WavEncoder BN chains amplify ~1e-7 per-op noise, same caveat as the
+    train-mode goldens), and the sharded run's large leaves must actually be
+    distributed (a replicated fallback would pass the numerics trivially)."""
+    import optax
+
+    from pantomatrix_tpu.train.mesh import fsdp_spec, shard_tree_fsdp
+
+    assert len(jax.devices()) >= 8
+    params0 = init_camn(jax.random.PRNGKey(5), CAMN_CFG)
+    batches = [camn_batch(seed=s) for s in (10, 11, 12)]
+
+    def run(mesh, placement):
+        params = jax.tree_util.tree_map(jnp.array, params0)
+        opt = optax.sgd(0.1)
+        step = make_camn_train_step(CAMN_CFG, opt, mesh,
+                                    param_placement=placement)
+        opt_state = init_opt_state(opt, params)
+        if placement == "inherit":
+            params = shard_tree_fsdp(params, mesh, "model")
+            opt_state = shard_tree_fsdp(opt_state, mesh, "model")
+            # the placement really distributes state: every large leaf sharded
+            sharded_leaves = [
+                x for x in jax.tree_util.tree_leaves(params)
+                if fsdp_spec(x.shape, mesh, "model") != jax.sharding.PartitionSpec()
+            ]
+            if mesh.shape["model"] > 1:
+                assert sharded_leaves
+                assert all(not x.sharding.is_fully_replicated
+                           for x in sharded_leaves)
+        else:
+            params = replicate(params, mesh)
+            opt_state = replicate(opt_state, mesh)
+        traj = []
+        for i, b in enumerate(batches):
+            params, opt_state, losses = step(
+                params, opt_state, shard_batch(b, mesh),
+                jax.random.PRNGKey(42), jnp.asarray(float(i)))
+            traj.append(float(losses["loss"]))
+        return params, traj
+
+    p_rep, l_rep = run(make_mesh(8), "replicated")
+    p_fsdp, l_fsdp = run(make_mesh(8, ("data", "model"), (4, 2)), "inherit")
+    # step 1: identical math, fp partial-sum ordering only
+    np.testing.assert_allclose(l_rep[0], l_fsdp[0], rtol=1e-5)
+    # 3-step trajectory bounded (fp noise amplified by random-weight BN chains)
+    np.testing.assert_allclose(l_rep, l_fsdp, rtol=5e-3)
+    # FSDP outputs stay sharded across steps (donated buffers keep placement)
+    flat_fsdp = jax.tree_util.tree_leaves(p_fsdp)
+    assert any(not x.sharding.is_fully_replicated for x in flat_fsdp)
+    for (k1, a), (k2, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p_rep),
+        jax.tree_util.tree_leaves_with_path(p_fsdp),
+    ):
+        a, b = np.asarray(a, np.float64).ravel(), np.asarray(b, np.float64).ravel()
+        assert np.abs(a - b).max() < 5e-3, jax.tree_util.keystr(k1)
+    # a (data, model=1) mesh takes the inherit path with nothing to shard and
+    # must reproduce the replicated run BITWISE (same program partitioning)
+    p_noop, l_noop = run(make_mesh(8, ("data", "model"), (8, 1)), "inherit")
+    assert l_noop == l_rep
+    for (k1, a), (k2, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p_rep),
+        jax.tree_util.tree_leaves_with_path(p_noop),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(k1))
