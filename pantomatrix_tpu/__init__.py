@@ -30,8 +30,9 @@ def __getattr__(name):
         from .models import api as _api
 
         return getattr(_api, name)
-    if name == "EmageGenerator":
-        from .serve import EmageGenerator
+    if name in ("EmageGenerator", "SequenceGenerator", "StreamingEmageGenerator",
+                "StreamingPool", "GenerationResult"):
+        from . import serve as _serve
 
-        return EmageGenerator
+        return getattr(_serve, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
