@@ -683,3 +683,21 @@ def test_fsdp_param_sharding_matches_replicated():
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=jax.tree_util.keystr(k1))
+
+
+def test_fsdp_spec_rule():
+    """Shape rule unit: largest divisible dim gets the model axis; small or
+    indivisible leaves replicate; a size-1 axis never shards."""
+    from jax.sharding import PartitionSpec as P
+
+    from pantomatrix_tpu.train.mesh import fsdp_spec, make_mesh
+
+    mesh = make_mesh(8, ("data", "model"), (4, 2))
+    assert fsdp_spec((128, 32), mesh) == P("model", None)
+    assert fsdp_spec((32, 128), mesh) == P(None, "model")
+    assert fsdp_spec((4, 6), mesh) == P(None, "model")   # both divide; 6 > 4
+    assert fsdp_spec((3,), mesh) == P()                  # indivisible
+    assert fsdp_spec((), mesh) == P()                    # scalar
+    assert fsdp_spec((1,), mesh) == P()                  # smaller than the axis
+    mesh1 = make_mesh(8, ("data", "model"), (8, 1))
+    assert fsdp_spec((128, 32), mesh1) == P()            # size-1 model axis
