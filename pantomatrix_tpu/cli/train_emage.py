@@ -88,8 +88,14 @@ def main():
         weight_decay=float(cfg.solver.adam_weight_decay),
         max_grad_norm=float(cfg.solver.max_grad_norm),
         lr_scheduler=cfg.solver.lr_scheduler,
-        warmup_steps=int(cfg.solver.lr_warmup_steps),
-        total_steps=int(cfg.solver.max_train_steps),
+        # the reference's ONLY use of gradient_accumulation_steps is stretching
+        # the LR schedule by it (train_emage_audio.py:265-266) — it never
+        # accumulates micro-batches; reproduced exactly. For memory use
+        # solver.gradient_checkpointing / fsdp_model_axis instead.
+        warmup_steps=int(cfg.solver.lr_warmup_steps)
+        * int(cfg.solver.get("gradient_accumulation_steps", 1)),
+        total_steps=int(cfg.solver.max_train_steps)
+        * int(cfg.solver.get("gradient_accumulation_steps", 1)),
         optimizer=cfg.solver.get("optimizer", "adam"),
     )
     step_fn = make_emage_train_step(
