@@ -66,7 +66,8 @@ def make_log_fn(cfg, pidx: int):
     wb = WandbLogger(bool(cfg.validation.get("wandb")) and pidx == 0,
                      project=cfg.get("wandb_project", ""),
                      entity=cfg.get("wandb_entity", ""),
-                     name=cfg.exp_name, config=cfg.to_dict())
+                     name=cfg.exp_name, config=cfg.to_dict(),
+                     api_key=str(cfg.get("wandb_key", "") or ""))
     jl = JsonlLogger(os.path.join(cfg.output_dir, "metrics.jsonl"))
 
     def log_fn(step, metrics):

@@ -19,10 +19,16 @@ class WandbLogger:
     runs stay fully functional without it)."""
 
     def __init__(self, enabled: bool, project: str = "", entity: str = "",
-                 name: str = "", config: Optional[dict] = None):
+                 name: str = "", config: Optional[dict] = None,
+                 api_key: str = ""):
         self.run = None
         if not enabled:
             return
+        if api_key:  # cfg.wandb_key -> env, as the reference does
+            # (train_emage_audio.py:210)
+            import os
+
+            os.environ["WANDB_API_KEY"] = api_key
         try:
             import wandb
 
