@@ -47,6 +47,12 @@ def main():
     p.add_argument("--fgd_strict", action="store_true",
                    help="raise if the AESKConv FGD weights are missing/corrupt "
                         "instead of degrading to the stats embedder")
+    p.add_argument("--vq_roundtrip", action="store_true",
+                   help="emage only: decode GROUND-TRUTH motion through the VQ "
+                        "tokenizers instead of generating from audio — the "
+                        "resulting metrics bound what any checkpoint can achieve "
+                        "with this tokenizer suite (the reference's commented-out "
+                        "reconstruction check, train_emage_audio.py:62-68)")
     args = p.parse_args()
 
     os.makedirs(args.save_folder, exist_ok=True)
@@ -65,13 +71,20 @@ def main():
     model = AutoModel.from_pretrained(args.model_path)
     cfg = model.config
 
+    if args.vq_roundtrip and args.family != "emage":
+        p.error("--vq_roundtrip applies to --family emage only")
     if args.family == "emage":
         from .test_emage import load_models
 
         e_args = argparse.Namespace(model_path=args.vq_path or args.model_path,
                                     random_init=False)
         _, vq = load_models(e_args)
-        generate_fn = make_emage_generate(model.params, cfg, vq.suite)
+        if args.vq_roundtrip:
+            from ..eval.test_flow import make_emage_vq_roundtrip_generate
+
+            generate_fn = make_emage_vq_roundtrip_generate(vq.suite)
+        else:
+            generate_fn = make_emage_generate(model.params, cfg, vq.suite)
     elif args.family == "disco":
         generate_fn = make_disco_generate(model.params, cfg)
     else:

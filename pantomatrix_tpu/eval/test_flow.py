@@ -100,6 +100,56 @@ def make_emage_generate(params, cfg, suite) -> Callable:
     return generate
 
 
+def make_emage_vq_roundtrip_generate(suite) -> Callable:
+    """Reconstruction-bound generator: decode the GROUND-TRUTH motion through the
+    frozen VQ tokenizers (encode -> nearest code -> decode, ignoring the audio).
+    The resulting metrics bound what ANY EMAGE checkpoint can achieve with this
+    tokenizer suite — the reference kept this as commented-out dev code in its
+    inference_fn (train_emage_audio.py:62-68); here it is a first-class mode
+    (``cli.evaluate --vq_roundtrip``). The returned fn reads each clip's GT npz,
+    so it carries ``needs_meta`` for generate_test_npz."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.rotations import axis_angle_to_rotation_6d
+    from ..models.emage_vq import vq_decode, vq_map2latent
+
+    m2l = jax.jit(vq_map2latent)
+    decode = jax.jit(
+        lambda s, lat, rt: vq_decode(
+            s, face_latent=lat["face"], upper_latent=lat["upper"],
+            hands_latent=lat["hands"], lower_latent=lat["lower"],
+            get_global_motion=True, ref_trans=rt,
+        )
+    )
+
+    def generate(audio, speaker_id, meta):
+        data = dict(np.load(meta["motion_path"], allow_pickle=True))
+        poses = np.asarray(data["poses"], np.float32).reshape(-1, 165)
+        t = poses.shape[0]
+        expr = np.asarray(data["expressions"], np.float32) if "expressions" in data \
+            else np.zeros((t, 100), np.float32)
+        trans = np.asarray(data["trans"], np.float32) if "trans" in data \
+            else np.zeros((t, 3), np.float32)
+        fc_path = meta["motion_path"].replace("smplxflame_30", "footcontact"
+                                              ).replace(".npz", ".npy")
+        contact = (np.load(fc_path).astype(np.float32) if os.path.exists(fc_path)
+                   else np.zeros((t, 4), np.float32))
+        rot6d = axis_angle_to_rotation_6d(
+            jnp.asarray(poses).reshape(1, t, 55, 3)).reshape(1, t, 330)
+        lat = m2l(suite, rot6d, jnp.asarray(expr)[None],
+                  jnp.asarray(contact)[None], jnp.asarray(trans)[None])
+        pred = decode(suite, lat, jnp.asarray(trans[None, :1]))
+        return {
+            "motion": np.asarray(pred["motion_axis_angle"]).reshape(t, -1),
+            "expressions": np.asarray(pred["expression"]).reshape(t, -1),
+            "trans": np.asarray(pred["trans"]).reshape(t, -1),
+        }
+
+    generate.needs_meta = True
+    return generate
+
+
 def generate_test_npz(generate_fn: Callable, test_list: List[dict], save_folder: str,
                       pose_fps: int, audio_sr: int = 16000) -> List[dict]:
     """Generate motion for every test clip and save BEAT npz; prints the reference's
@@ -117,7 +167,9 @@ def generate_test_npz(generate_fn: Callable, test_list: List[dict], save_folder:
         wave = load_audio(meta["audio_path"], audio_sr)
         audio = jnp.asarray(wave)[None]
         speaker_id = jnp.zeros((1, 1), jnp.int32)
-        out = generate_fn(audio, speaker_id)
+        out = (generate_fn(audio, speaker_id, meta=meta)
+               if getattr(generate_fn, "needs_meta", False)
+               else generate_fn(audio, speaker_id))
         out_path = os.path.join(save_folder, f"{meta['video_id']}_output.npz")
         beat_format_save(out_path, out["motion"], upsample=30 // pose_fps,
                          expressions=out.get("expressions"),
@@ -181,6 +233,7 @@ __all__ = [
     "make_camn_generate",
     "make_disco_generate",
     "make_emage_generate",
+    "make_emage_vq_roundtrip_generate",
     "run_test_pass",
     "unique_test_clips",
 ]

@@ -284,3 +284,63 @@ def test_evaluate_clips_pipeline(tmp_path):
     assert np.isfinite(m["fgd"]) or np.isnan(m["fgd"])  # too few windows -> nan OK
     assert np.isfinite(m["l1"])
     assert np.isfinite(m["lvd"]) and np.isfinite(m["mse"])
+
+
+def test_vq_roundtrip_generate(tmp_path):
+    """make_emage_vq_roundtrip_generate: decodes each clip's GT npz through the
+    VQ tokenizers (the reference's commented-out reconstruction check as a
+    first-class mode). Checks the needs_meta plumbing through generate_test_npz,
+    output frame counts == GT, and finite values end to end."""
+    import jax
+    from pantomatrix_tpu.eval.test_flow import (
+        generate_test_npz,
+        make_emage_vq_roundtrip_generate,
+    )
+    from pantomatrix_tpu.io.beat_format import beat_format_save
+    from pantomatrix_tpu.models.configs import EmageVAEConvConfig, EmageVQVAEConvConfig
+    from pantomatrix_tpu.models.emage_vq import (
+        EmageVQSuite,
+        init_emage_vae,
+        init_emage_vqvae,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    mk = lambda k, dim: (
+        init_emage_vqvae(k, EmageVQVAEConvConfig(vae_test_dim=dim, vae_length=16,
+                                                 vae_codebook_size=16)),
+        EmageVQVAEConvConfig(vae_test_dim=dim, vae_length=16, vae_codebook_size=16),
+    )
+    g_cfg = EmageVAEConvConfig(vae_length=24, vae_test_dim=61)
+    suite = EmageVQSuite(face=mk(ks[0], 106), upper=mk(ks[1], 78),
+                         hands=mk(ks[2], 180), lower=mk(ks[3], 61),
+                         global_motion=(init_emage_vae(ks[4], g_cfg), g_cfg))
+
+    rng = np.random.RandomState(1)
+    test_list = []
+    for vid, t in (("a", 40), ("b", 25)):
+        gt = rng.uniform(-0.4, 0.4, (t, 165)).astype(np.float32)
+        expr = rng.uniform(-1, 1, (t, 100)).astype(np.float32)
+        beat_format_save(str(tmp_path / f"{vid}_gt.npz"), gt, expressions=expr,
+                         trans=np.zeros((t, 3), np.float32))
+        # 16 kHz audio matching t frames at 30 fps (unused by the roundtrip but
+        # read by generate_test_npz)
+        import wave as wavmod
+        with wavmod.open(str(tmp_path / f"{vid}.wav"), "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+            w.writeframes(np.zeros(t * 533 + 16, np.int16).tobytes())
+        test_list.append({"video_id": vid,
+                          "motion_path": str(tmp_path / f"{vid}_gt.npz"),
+                          "audio_path": str(tmp_path / f"{vid}.wav")})
+
+    gen = make_emage_vq_roundtrip_generate(suite)
+    assert getattr(gen, "needs_meta", False)
+    save_list = generate_test_npz(gen, test_list, str(tmp_path / "out"),
+                                  pose_fps=30)
+    assert len(save_list) == 2
+    for meta, pred in zip(test_list, save_list):
+        gt = dict(np.load(meta["motion_path"], allow_pickle=True))
+        out = dict(np.load(pred["motion_path"], allow_pickle=True))
+        assert out["poses"].reshape(-1, 165).shape == gt["poses"].reshape(-1, 165).shape
+        assert np.isfinite(out["poses"]).all()
+        assert np.isfinite(out["expressions"]).all()
+        assert np.isfinite(out["trans"]).all()
