@@ -120,6 +120,14 @@ def run_training(
             loop_cfg.resume_from_checkpoint,
             params_template=params, opt_state_template=opt_state,
         )
+        # re-place the restored host arrays the way the CLI placed the fresh
+        # state: FSDP steps (param_placement="inherit") must resume SHARDED,
+        # not silently replicated from uncommitted inputs
+        mesh = getattr(step_fn, "mesh", None)
+        if mesh is not None:
+            from .mesh import place_train_state
+
+            params, opt_state = place_train_state(params, opt_state, mesh)
         # without this the first post-resume test pass would displace test_best/
         # with arbitrarily worse weights (anything beats a fresh inf)
         best_test = float(extra.get("best_test", float("inf")))

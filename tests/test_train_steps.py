@@ -701,3 +701,57 @@ def test_fsdp_spec_rule():
     assert fsdp_spec((1,), mesh) == P()                  # smaller than the axis
     mesh1 = make_mesh(8, ("data", "model"), (8, 1))
     assert fsdp_spec((128, 32), mesh1) == P()            # size-1 model axis
+
+
+def test_fsdp_checkpoint_resume_roundtrip(tmp_path):
+    """FSDP state survives a save/load cycle: checkpoints are plain host
+    safetensors (np.asarray gathers the shards on a single process), and
+    re-placing with place_train_state resumes SHARDED training that matches
+    the uninterrupted run exactly (same placement, same program)."""
+    import optax
+
+    from pantomatrix_tpu.train.ckpt import load_train_state, save_train_state
+    from pantomatrix_tpu.train.mesh import place_train_state
+    from pantomatrix_tpu.train.steps import make_camn_train_step
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8, ("data", "model"), (4, 2))
+    params0 = init_camn(jax.random.PRNGKey(6), CAMN_CFG)
+    batches = [camn_batch(seed=s) for s in (20, 21, 22)]
+    opt = optax.sgd(0.1)
+    step = make_camn_train_step(CAMN_CFG, opt, mesh, param_placement="inherit")
+
+    def fresh():
+        return place_train_state(
+            jax.tree_util.tree_map(jnp.array, params0),
+            init_opt_state(opt, params0), mesh)
+
+    # uninterrupted: 3 steps
+    p, o = fresh()
+    for i, b in enumerate(batches):
+        p, o, _ = step(p, o, shard_batch(b, mesh), jax.random.PRNGKey(0),
+                       jnp.asarray(float(i)))
+
+    # interrupted: 2 steps, save, load, re-place, 1 more step
+    p2, o2 = fresh()
+    for i, b in enumerate(batches[:2]):
+        p2, o2, _ = step(p2, o2, shard_batch(b, mesh), jax.random.PRNGKey(0),
+                         jnp.asarray(float(i)))
+    ck = str(tmp_path / "state.safetensors")
+    save_train_state(ck, p2, o2, iteration=2)
+    params_t = init_camn(jax.random.PRNGKey(6), CAMN_CFG)
+    p3, o3, it, _ = load_train_state(ck, params_template=params_t,
+                                     opt_state_template=init_opt_state(opt, params_t))
+    assert it == 2
+    p3, o3 = place_train_state(p3, o3, mesh)
+    assert any(not x.sharding.is_fully_replicated
+               for x in jax.tree_util.tree_leaves(p3))
+    p3, o3, _ = step(p3, o3, shard_batch(batches[2], mesh), jax.random.PRNGKey(0),
+                     jnp.asarray(2.0))
+
+    for (k1, a), (k2, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p),
+        jax.tree_util.tree_leaves_with_path(p3),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(k1))
