@@ -755,3 +755,16 @@ def test_fsdp_checkpoint_resume_roundtrip(tmp_path):
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=jax.tree_util.keystr(k1))
+
+
+def test_make_train_mesh_validation():
+    from pantomatrix_tpu.train.mesh import make_train_mesh
+
+    m = make_train_mesh(16, model_axis=1)
+    assert m.axis_names == ("data",)
+    m2 = make_train_mesh(8, model_axis=2)
+    assert m2.axis_names == ("data", "model") and m2.shape["model"] == 2
+    with pytest.raises(ValueError, match="divide the device count"):
+        make_train_mesh(8, model_axis=3)
+    with pytest.raises(ValueError, match="divide over the data axis"):
+        make_train_mesh(3, model_axis=2)  # dp=4 doesn't divide bs=3
