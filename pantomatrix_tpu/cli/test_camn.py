@@ -27,6 +27,11 @@ def build_parser():
     p.add_argument("--random_init", action="store_true")
     p.add_argument("--visualization", action="store_true")
     p.add_argument("--nopytorch3d", action="store_true")  # accepted for CLI parity
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   choices=["bfloat16", "float32"],
+                   help="opt-in low-precision serving (measured 1.24-1.25x for "
+                        "the LSTM families on v5e, axis-angle corr ~1.0 vs f32 — "
+                        "PROFILE.md); default float32 reference parity")
     return p
 
 
@@ -68,7 +73,8 @@ def run(args, model_cls, config_cls, forward):
     files = audio_files_in(args.audio_folder)
     # jit the whole forward (eager dispatch is ruinously slow on the tunnel TPU);
     # one compile per distinct audio length
-    fwd = jax.jit(lambda a, s: forward(model, a, s))
+    cdt = None if args.compute_dtype in (None, "float32") else args.compute_dtype
+    fwd = jax.jit(lambda a, s: forward(model, a, s, cdt))
     all_t = 0
     t0 = time.time()
     for audio_path in files:
@@ -101,7 +107,8 @@ def main():
     args = build_parser().parse_args()
     run(
         args, CamnAudioModel, CamnAudioConfig,
-        lambda m, a, s: m(a, s, seed_frames=m.config.seed_frames)["motion_axis_angle"],
+        lambda m, a, s, cdt: m(a, s, seed_frames=m.config.seed_frames,
+                               compute_dtype=cdt)["motion_axis_angle"],
     )
 
 

@@ -11,7 +11,8 @@ def main():
     args = build_parser().parse_args()
     run(
         args, DiscoAudioModel, DiscoAudioConfig,
-        lambda m, a, s: m(a, s, seed_frames=m.config.seed_frames)["motion_axis_angle"],
+        lambda m, a, s, cdt: m(a, s, seed_frames=m.config.seed_frames,
+                               compute_dtype=cdt)["motion_axis_angle"],
     )
 
 

@@ -25,6 +25,14 @@ def build_parser():
     p.add_argument("--random_init", action="store_true")
     p.add_argument("--visualization", action="store_true")
     p.add_argument("--nopytorch3d", action="store_true")
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   choices=["bfloat16", "float32"],
+                   help="opt-in low-precision AR serving (PROFILE.md); default "
+                        "float32 reference parity")
+    p.add_argument("--batched_wav", action="store_true",
+                   help="opt-in: pre-encode all windows' audio as one batched "
+                        "conv before the AR scan (~20%% faster at small "
+                        "batches; fp-level deviation class — PROFILE.md)")
     return p
 
 
@@ -70,7 +78,8 @@ def make_decode_jit(vq):
     return jax.jit(lambda s, rt: vq.decode(**s, get_global_motion=True, ref_trans=rt))
 
 
-def inference_one(model, vq, audio_path, save_folder, decode_jit=None):
+def inference_one(model, vq, audio_path, save_folder, decode_jit=None,
+                  compute_dtype=None, batched_wav=False):
     import jax.numpy as jnp
 
     from ..data.audio import load_audio
@@ -83,7 +92,9 @@ def inference_one(model, vq, audio_path, save_folder, decode_jit=None):
     speaker_id = jnp.zeros((1, 1), jnp.int32)
     trans = jnp.zeros((1, 1, 3))
 
-    latent_dict = model.inference(audio, speaker_id, vq)  # jitted internally
+    latent_dict = model.inference(audio, speaker_id, vq,  # jitted internally
+                                  compute_dtype=compute_dtype,
+                                  batched_wav=batched_wav)
     sel = _select_decode_inputs(cfg, latent_dict)
     decode_jit = decode_jit or make_decode_jit(vq)
     all_pred = decode_jit(sel, trans[:, 0])
@@ -124,7 +135,9 @@ def main():
     all_t = 0
     t0 = time.time()
     for audio_path in files:
-        all_t += inference_one(model, vq, audio_path, args.save_folder, decode_jit)
+        cdt = None if args.compute_dtype in (None, "float32") else args.compute_dtype
+        all_t += inference_one(model, vq, audio_path, args.save_folder, decode_jit,
+                               compute_dtype=cdt, batched_wav=args.batched_wav)
         if args.visualization:
             visualize_one(args.save_folder, audio_path)
     print(
