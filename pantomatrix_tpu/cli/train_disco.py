@@ -69,6 +69,7 @@ def main():
     from ..models.disco import disco_forward, init_disco
     from ..train.loop import TrainLoopConfig, run_training
     from ..train.mesh import (
+        fsdp_enabled,
         make_train_mesh,
         place_train_state,
         maybe_init_distributed,
@@ -94,8 +95,7 @@ def main():
 
     mesh = make_train_mesh(int(cfg.data.train_bs),
                            int(cfg.solver.get("fsdp_model_axis", 1)))
-    placement = ("inherit" if "model" in mesh.axis_names
-                 and mesh.shape["model"] > 1 else "replicated")
+    placement = "inherit" if fsdp_enabled(mesh) else "replicated"
     optimizer = make_optimizer(
         learning_rate=float(cfg.solver.learning_rate),
         beta1=cfg.solver.adam_beta1, beta2=cfg.solver.adam_beta2,

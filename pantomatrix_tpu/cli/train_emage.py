@@ -47,6 +47,7 @@ def main():
     from ..models.emage_vq import vq_decode
     from ..train.loop import TrainLoopConfig, run_training
     from ..train.mesh import (
+        fsdp_enabled,
         make_train_mesh,
         maybe_init_distributed,
         place_train_state,
@@ -79,8 +80,7 @@ def main():
 
     mesh = make_train_mesh(int(cfg.data.train_bs),
                            int(cfg.solver.get("fsdp_model_axis", 1)))
-    placement = ("inherit" if "model" in mesh.axis_names
-                 and mesh.shape["model"] > 1 else "replicated")
+    placement = "inherit" if fsdp_enabled(mesh) else "replicated"
     optimizer = make_optimizer(
         learning_rate=float(cfg.solver.learning_rate),
         beta1=cfg.solver.adam_beta1, beta2=cfg.solver.adam_beta2,

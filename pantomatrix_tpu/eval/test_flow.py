@@ -114,7 +114,15 @@ def make_emage_vq_roundtrip_generate(suite) -> Callable:
     from ..core.rotations import axis_angle_to_rotation_6d
     from ..models.emage_vq import vq_decode, vq_map2latent
 
-    m2l = jax.jit(vq_map2latent)
+    @jax.jit
+    def m2l(s, poses, expr, contact, trans):
+        # fold the axis-angle -> rot6d conversion into the jitted call: eager
+        # per-clip dispatch pays tunnel round-trips on the real TPU (CLAUDE.md)
+        t = poses.shape[1]
+        rot6d = axis_angle_to_rotation_6d(poses.reshape(1, t, 55, 3)
+                                          ).reshape(1, t, 330)
+        return vq_map2latent(s, rot6d, expr, contact, trans)
+
     decode = jax.jit(
         lambda s, lat, rt: vq_decode(
             s, face_latent=lat["face"], upper_latent=lat["upper"],
@@ -135,9 +143,7 @@ def make_emage_vq_roundtrip_generate(suite) -> Callable:
                                               ).replace(".npz", ".npy")
         contact = (np.load(fc_path).astype(np.float32) if os.path.exists(fc_path)
                    else np.zeros((t, 4), np.float32))
-        rot6d = axis_angle_to_rotation_6d(
-            jnp.asarray(poses).reshape(1, t, 55, 3)).reshape(1, t, 330)
-        lat = m2l(suite, rot6d, jnp.asarray(expr)[None],
+        lat = m2l(suite, jnp.asarray(poses)[None], jnp.asarray(expr)[None],
                   jnp.asarray(contact)[None], jnp.asarray(trans)[None])
         pred = decode(suite, lat, jnp.asarray(trans[None, :1]))
         return {
@@ -147,6 +153,7 @@ def make_emage_vq_roundtrip_generate(suite) -> Callable:
         }
 
     generate.needs_meta = True
+    generate.needs_audio = False  # the roundtrip never reads the waveform
     return generate
 
 
@@ -164,8 +171,11 @@ def generate_test_npz(generate_fn: Callable, test_list: List[dict], save_folder:
     total_frames = 0
     t0 = time.time()
     for meta in test_list:
-        wave = load_audio(meta["audio_path"], audio_sr)
-        audio = jnp.asarray(wave)[None]
+        if getattr(generate_fn, "needs_audio", True):
+            wave = load_audio(meta["audio_path"], audio_sr)  # MP3-capable decode
+            audio = jnp.asarray(wave)[None]
+        else:
+            audio = None  # e.g. the VQ roundtrip reads GT motion, not audio
         speaker_id = jnp.zeros((1, 1), jnp.int32)
         out = (generate_fn(audio, speaker_id, meta=meta)
                if getattr(generate_fn, "needs_meta", False)

@@ -122,12 +122,15 @@ def run_training(
         )
         # re-place the restored host arrays the way the CLI placed the fresh
         # state: FSDP steps (param_placement="inherit") must resume SHARDED,
-        # not silently replicated from uncommitted inputs
+        # not silently replicated from uncommitted inputs. Replicated steps
+        # need nothing — their in_shardings place host arrays as before.
         mesh = getattr(step_fn, "mesh", None)
-        if mesh is not None:
-            from .mesh import place_train_state
+        if (mesh is not None
+                and getattr(step_fn, "param_placement", "replicated") == "inherit"):
+            from .mesh import fsdp_enabled, place_train_state
 
-            params, opt_state = place_train_state(params, opt_state, mesh)
+            if fsdp_enabled(mesh):
+                params, opt_state = place_train_state(params, opt_state, mesh)
         # without this the first post-resume test pass would displace test_best/
         # with arbitrarily worse weights (anything beats a fresh inf)
         best_test = float(extra.get("best_test", float("inf")))

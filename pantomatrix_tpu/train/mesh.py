@@ -115,12 +115,19 @@ def make_train_mesh(batch_size: int, model_axis: int = 1) -> Mesh:
     return make_mesh(n, ("data", "model"), (dp, model_axis))
 
 
+def fsdp_enabled(mesh: Mesh) -> bool:
+    """THE placement rule: a mesh trains FSDP iff it has a model axis of size>1.
+    Single source of truth for the CLIs (param_placement selection),
+    place_train_state, and the resume path."""
+    return "model" in mesh.axis_names and mesh.shape["model"] > 1
+
+
 def place_train_state(params, opt_state, mesh: Mesh):
     """Initial placement for (params, opt_state) on a training mesh: FSDP-sharded
-    over the model axis when the mesh has one (size>1), replicated otherwise.
+    over the model axis when ``fsdp_enabled(mesh)``, replicated otherwise.
     Matches the step's param_placement: "inherit" steps keep whatever this
     chose; "replicated" steps require the replicated form."""
-    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+    if fsdp_enabled(mesh):
         return (shard_tree_fsdp(params, mesh, "model"),
                 shard_tree_fsdp(opt_state, mesh, "model"))
     return replicate(params, mesh), replicate(opt_state, mesh)
@@ -196,6 +203,7 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, replicated(mesh)), tree)
 
 
-__all__ = ["data_sharding", "fsdp_spec", "make_data_mesh", "make_mesh",
-           "make_train_mesh", "maybe_init_distributed", "place_train_state",
-           "replicate", "replicated", "shard_batch", "shard_tree_fsdp"]
+__all__ = ["data_sharding", "fsdp_enabled", "fsdp_spec", "make_data_mesh",
+           "make_mesh", "make_train_mesh", "maybe_init_distributed",
+           "place_train_state", "replicate", "replicated", "shard_batch",
+           "shard_tree_fsdp"]

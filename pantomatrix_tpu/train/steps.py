@@ -427,6 +427,12 @@ def _make_step(loss_fn, optimizer, mesh: Optional[Mesh], axis_name: str,
         mesh = Mesh(np.asarray(jax.devices()[:1]), (axis_name,))
 
     if spmd == "shard_map":
+        if param_placement != "replicated":
+            raise ValueError(
+                "param_placement is a pjit-path option; the shard_map path "
+                "replicates params (its in_specs are P()) — FSDP-sharded state "
+                "would be silently re-gathered every call"
+            )
         def step(params, opt_state, batch, rng, iteration):
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
             trainable, buffers = partition_params(params)

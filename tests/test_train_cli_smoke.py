@@ -297,7 +297,7 @@ def test_train_camn_writes_metrics_jsonl(tmp_path, mini_beat2):
 
 
 def test_train_camn_fsdp_debug(tmp_path, mini_beat2):
-    """solver.fsdp_model_axis=2 trains over a ("data","model") mesh end to end:
+    """solver.fsdp_model_axis=4 trains over a ("data","model") mesh end to end:
     params/opt sharded (ZeRO-3 via GSPMD), checkpoints still written as full
     host arrays (single-process leaves are fully addressable)."""
     from pantomatrix_tpu.cli.train_camn import main

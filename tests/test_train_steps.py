@@ -768,3 +768,11 @@ def test_make_train_mesh_validation():
         make_train_mesh(8, model_axis=3)
     with pytest.raises(ValueError, match="divide over the data axis"):
         make_train_mesh(3, model_axis=2)  # dp=4 doesn't divide bs=3
+
+
+def test_shard_map_rejects_param_placement():
+    import optax
+
+    with pytest.raises(ValueError, match="pjit-path option"):
+        make_camn_train_step(CAMN_CFG, optax.sgd(0.1), make_mesh(2),
+                             spmd="shard_map", param_placement="inherit")
