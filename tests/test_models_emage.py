@@ -301,6 +301,11 @@ def test_emage_forward_train_mode_parity(suite_pair):
     for m in oracle.modules():
         if isinstance(m, nn.Dropout):
             m.p = 0.0
+        # MultiheadAttention keeps its attention-weight dropout as a FLOAT, not
+        # an nn.Dropout module — in .train() it fires via
+        # F.multi_head_attention_forward even with every Dropout module zeroed
+        if isinstance(m, nn.MultiheadAttention):
+            m.dropout = 0.0
     params = jax.tree_util.tree_map(jnp.asarray, to_pytree(oracle))
     bs, t = 2, ECFG.pose_length
     audio = _window_audio(t)
@@ -383,3 +388,69 @@ def test_emage_forward_no_audio_parity(suite_pair):
     for k in ref:
         np.testing.assert_allclose(np.asarray(out[k]), ref[k].numpy(), atol=3e-4,
                                    err_msg=k)
+
+
+def test_emage_train_mode_fp64_trajectory():
+    """fp64 train-mode trajectory golden (same standard as CaMN/DisCo,
+    tests/test_models_camn_disco.py): forward outputs AND every BatchNorm
+    running-stat leaf match the torch .train() oracle after each of 3 steps,
+    to float64 accumulation noise. Isolates the batch-stat BN path (dropout 0,
+    as the fp32 correlation test above explains)."""
+    import torch.nn as nn
+
+    from pantomatrix_tpu.nn.layers import Ctx, apply_bn_updates
+
+    torch.manual_seed(31)
+    with jax.enable_x64(True):
+        oracle = TorchEmage(ECFG).double().train()
+        for m in oracle.modules():
+            if isinstance(m, nn.Dropout):
+                m.p = 0.0
+            if isinstance(m, nn.MultiheadAttention):
+                m.dropout = 0.0  # float attr, fires in train mode (see above)
+        params = jax.tree_util.tree_map(jnp.asarray, to_pytree(oracle))
+        bs, t = 2, ECFG.pose_length
+        for step in range(3):
+            rng = np.random.RandomState(300 + step)
+            audio = rng.uniform(-1, 1, (bs, t * 533)).astype(np.float64)
+            motion = rng.uniform(-1, 1, (bs, t, 337)).astype(np.float64)
+            mask = np.ones((bs, t, 337), np.float64)
+            spk = np.array([[step % 4], [(step + 1) % 4]])
+            with torch.no_grad():
+                ref = oracle(torch.from_numpy(audio), torch.from_numpy(spk),
+                             torch.from_numpy(motion), torch.from_numpy(mask))
+            ctx = Ctx(train=True, rng=jax.random.PRNGKey(step), bn_updates={})
+            out = emage_forward(params, ECFG, jnp.asarray(audio), jnp.asarray(spk),
+                                jnp.asarray(motion), jnp.asarray(mask), ctx=ctx)
+            for k in ref:
+                np.testing.assert_allclose(
+                    np.asarray(out[k], np.float64), ref[k].double().numpy(),
+                    atol=1e-8, err_msg=f"step {step} output {k}")
+            assert ctx.bn_updates
+            params = apply_bn_updates(params, ctx.bn_updates)
+            ref_tree = to_pytree(oracle)
+            flat_ref = {}
+
+            def walk(node, path=()):
+                for k, v in node.items():
+                    if isinstance(v, dict):
+                        if "running_mean" in v:
+                            flat_ref[path + (k,)] = v
+                        else:
+                            walk(v, path + (k,))
+
+            walk(ref_tree)
+            assert flat_ref
+            for path, leaf in flat_ref.items():
+                node = params
+                for k in path:
+                    node = node[k]
+                np.testing.assert_allclose(
+                    np.asarray(node["running_mean"], np.float64),
+                    leaf["running_mean"].astype(np.float64), atol=1e-8,
+                    err_msg=f"step {step} running_mean {path}")
+                np.testing.assert_allclose(
+                    np.asarray(node["running_var"], np.float64),
+                    leaf["running_var"].astype(np.float64), atol=1e-8,
+                    err_msg=f"step {step} running_var {path}")
+                assert int(node["num_batches_tracked"]) == step + 1, path
