@@ -35,4 +35,8 @@ def __getattr__(name):
         from . import serve as _serve
 
         return getattr(_serve, name)
+    if name in ("MotionServer", "MotionClient"):
+        from . import serve_http as _serve_http
+
+        return getattr(_serve_http, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

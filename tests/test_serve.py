@@ -178,6 +178,44 @@ def test_sharded_batch_inference_matches_single_device(tiny_stack):
                                    err_msg=k)
 
 
+def test_param_sharded_inference_matches_single_device(tiny_stack):
+    """Tensor-parallel serving (PARITY.md "tp covered" evidence): run EMAGE
+    inference with the params GSPMD-sharded over the model axis of a 2D
+    ("data", "model") mesh — the FSDP placement rule tensor-shards every large
+    weight (train/mesh.py fsdp_spec), so GSPMD partitions the matmuls and
+    inserts the collectives. Outputs must match unsharded execution; at these
+    model sizes tp is never *needed* (PARITY.md rationale), but the mechanism
+    is the same one the train path ships and it must stay correct."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pantomatrix_tpu.models.emage import emage_inference
+    from pantomatrix_tpu.train.mesh import fsdp_spec, make_mesh, shard_tree_fsdp
+
+    model, vq = tiny_stack
+    rng = np.random.RandomState(11)
+    audio = jnp.asarray(rng.uniform(-0.5, 0.5, (8, 16000)).astype(np.float32))
+    spk = jnp.zeros((8, 1), jnp.int32)
+
+    ref = emage_inference(model.params, model.config, audio, spk, vq.suite)
+
+    mesh = make_mesh(8, ("data", "model"), (4, 2))
+    params_s = shard_tree_fsdp(model.params, mesh, "model")
+    n_sharded = sum(
+        1 for x in jax.tree_util.tree_leaves(params_s)
+        if fsdp_spec(x.shape, mesh, "model") != P()
+    )
+    assert n_sharded > 10  # premise: the big weights really are tensor-sharded
+    sh = NamedSharding(mesh, P("data"))
+    out = emage_inference(params_s, model.config,
+                          jax.device_put(audio, sh), jax.device_put(spk, sh),
+                          vq.suite)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=2e-5, err_msg=k)
+
+
 def test_sequence_generator_camn():
     from pantomatrix_tpu.models.api import CamnAudioModel
     from pantomatrix_tpu.models.configs import CamnAudioConfig
