@@ -22,6 +22,11 @@ def build_parser():
     p.add_argument("--port", type=int, default=8799)
     p.add_argument("--batch", type=int, default=8,
                    help="pump-wave batch: max sessions stepped per device call")
+    p.add_argument("--max_sessions", type=int, default=64,
+                   help="opens beyond this get HTTP 503 (existing streams keep "
+                        "their latency budget)")
+    p.add_argument("--idle_timeout", type=float, default=600.0,
+                   help="seconds of no feed/read before a session is evicted")
     p.add_argument("--model_path", type=str, default=None,
                    help="local checkpoint root (audio model + emage_vq/* subdirs)")
     p.add_argument("--random_init", action="store_true")
@@ -36,9 +41,12 @@ def main():
 
     model, vq = load_models(args)
     server = MotionServer(model, vq, batch=args.batch,
-                          host=args.host, port=args.port).start()
+                          host=args.host, port=args.port,
+                          max_sessions=args.max_sessions,
+                          idle_timeout_s=args.idle_timeout).start()
     print(json.dumps({"serving": True, "host": server.host,
-                      "port": server.port, "batch": args.batch}), flush=True)
+                      "port": server.port, "batch": args.batch,
+                      "max_sessions": args.max_sessions}), flush=True)
     try:
         import time
 

@@ -141,3 +141,110 @@ def test_daemon_unknown_session_is_a_client_error(served_stack):
         client.read_motion(10**9)
     with pytest.raises(RuntimeError, match="404"):
         client.send_audio(10**9, np.zeros(4, np.float32))
+
+
+def test_raw_pcm_framesync_prefix_not_misrouted_to_mp3(served_stack):
+    """A legitimate float32 PCM body whose first bytes look like an MP3 frame
+    sync (0xFF + top bits) must NOT be fed to the MP3 decoder when the client
+    says (or implies) octet-stream — regression for the ADVICE r3 medium
+    finding (Content-Type dispatch)."""
+    _, _, server = served_stack
+    client = MotionClient(server.host, server.port)
+    n = 64
+    audio = np.zeros(n, np.float32)
+    audio[0] = np.frombuffer(b"\xff\xfb\x90\x00", np.float32)[0]  # sync pattern
+    sid = client.open_session()
+    assert client.send_audio(sid, audio) == n  # raw PCM, sample-exact
+    client.close_session(sid)
+
+
+def test_malformed_requests_get_http_status_not_dropped_connections(served_stack):
+    _, _, server = served_stack
+    client = MotionClient(server.host, server.port)
+    # DELETE on a garbage id: a response (404), not a dumped traceback + drop
+    with pytest.raises(RuntimeError, match="404"):
+        client.close_session("definitely-not-a-session")
+    # malformed query parameter -> 400
+    sid = client.open_session()
+    with pytest.raises(RuntimeError, match="400"):
+        client._request("GET", f"/v1/sessions/{sid}/motion?timeout_ms=abc")
+    # unservable Content-Type -> 415 (never reinterpreted as PCM)
+    with pytest.raises(RuntimeError, match="415"):
+        client._request("POST", f"/v1/sessions/{sid}/audio",
+                        b"\x00" * 16, "video/mp4")
+    # odd-length octet-stream body -> 400
+    with pytest.raises(RuntimeError, match="400"):
+        client._request("POST", f"/v1/sessions/{sid}/audio", b"\x00" * 7)
+    client.close_session(sid)
+
+
+def test_session_ids_are_unguessable_tokens(served_stack):
+    _, _, server = served_stack
+    client = MotionClient(server.host, server.port)
+    sid = client.open_session()
+    assert isinstance(sid, str) and len(sid) >= 32
+    int(sid, 16)  # hex token
+    client.close_session(sid)
+
+
+def test_feed_and_reads_do_not_block_on_device_lock(served_stack):
+    """Ingest must stay host-side: with the device lock held (as during a long
+    pump wave), feeds/opens/reads still complete promptly."""
+    _, _, server = served_stack
+    client = MotionClient(server.host, server.port)
+    with server._device_lock:  # simulate a 100-400 ms device wave in flight
+        t0 = time.monotonic()
+        sid = client.open_session()
+        assert client.send_audio(sid, np.zeros(128, np.float32)) == 128
+        res = client.read_motion(sid, timeout_ms=0)
+        assert res.motion_axis_angle.shape[0] == 0
+        assert time.monotonic() - t0 < 2.0
+    client.close_session(sid)
+
+
+def test_requeue_redelivers_frames_after_failed_response_write(served_stack):
+    """Frames drained for a client whose connection died mid-response are
+    redelivered on the next read, not lost (ADVICE r3 low finding)."""
+    _, _, server = served_stack
+    tok = server.open_session()
+    server.feed(tok, np.random.RandomState(5).uniform(-0.5, 0.5, 6000
+                                                      ).astype(np.float32))
+    chunks = server.read_motion_chunks(tok, timeout_s=60.0)
+    assert sum(c.motion_axis_angle.shape[0] for c in chunks) == 6
+    server.requeue(tok, chunks)  # what the handler does when wfile.write fails
+    again = server.read_motion(tok, timeout_s=0.0)
+    np.testing.assert_array_equal(
+        again.motion_axis_angle,
+        np.concatenate([c.motion_axis_angle for c in chunks], 0),
+    )
+    server.close_session(tok)
+
+
+def test_session_cap_and_idle_eviction(served_stack):
+    """Rude clients: opens beyond max_sessions get 503; sessions that go silent
+    are evicted so they stop consuming pump waves."""
+    model, vq, _ = served_stack
+    server = MotionServer(model, vq, batch=2, max_sessions=2,
+                          idle_timeout_s=0.3).start()
+    try:
+        client = MotionClient(server.host, server.port)
+        a = client.open_session()
+        b = client.open_session()
+        with pytest.raises(RuntimeError, match="503"):
+            client.open_session()
+        client.send_audio(a, np.zeros(256, np.float32))
+        # both sessions go silent -> evicted by the pump thread
+        deadline = time.monotonic() + 30
+        while client.health()["sessions"] and time.monotonic() < deadline:
+            time.sleep(0.05)
+        h = client.health()
+        assert h["sessions"] == 0 and h["evicted_total"] >= 2
+        with pytest.raises(RuntimeError, match="404"):
+            client.read_motion(a)
+        with pytest.raises(RuntimeError, match="404"):
+            client.send_audio(b, np.zeros(4, np.float32))
+        # capacity is actually freed: new opens succeed again
+        c = client.open_session()
+        client.close_session(c)
+    finally:
+        server.stop()
