@@ -55,6 +55,27 @@ def seed_everything(seed: int) -> None:
     os.environ["PYTHONHASHSEED"] = str(seed)
 
 
+def maybe_device_resident(cfg, train_loader, mesh):
+    """``cfg.data.device_resident`` (default on): stage every take the training
+    clips reference into device memory once and ship only int32 (take, start)
+    indices per step (data/device_data.py — bit-identical batches, removes the
+    per-step host->device window traffic). Returns (loader, place_batch or None);
+    falls back to the host loader when the dataset can't satisfy the
+    static-shape/HBM contract."""
+    if not cfg.data.get("device_resident", True):
+        return train_loader, None
+    from ..data.device_data import DeviceResidentLoader, StagingUnsupported
+
+    try:
+        loader = DeviceResidentLoader(train_loader, mesh)
+    except StagingUnsupported as e:
+        print(f"device-resident data pipeline unavailable ({e}); using host loader")
+        return train_loader, None
+    print(f"device-resident data: staged {loader.staged_bytes / 2**20:.1f} MiB; "
+          "steps transfer int32 indices only")
+    return loader, loader.place_batch
+
+
 def make_log_fn(cfg, pidx: int):
     """Shared metric sinks for the train CLIs: an always-on metrics.jsonl plus
     wandb (opt-in). wandb.init runs on the MAIN process only — one run per job,

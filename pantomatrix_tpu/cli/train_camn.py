@@ -35,6 +35,7 @@ def main():
     from ._train_common import (
         build_test_fn,
         make_log_fn,
+        maybe_device_resident,
         init_env,
         run_test_and_exit,
         seed_everything,
@@ -119,9 +120,10 @@ def main():
     )
     log_fn, log_finish = make_log_fn(cfg, pidx)
 
+    train_loader, dev_place = maybe_device_resident(cfg, train_loader, mesh)
     run_training(
         loop_cfg, step_fn, params, opt_state, train_loader,
-        place_batch=lambda b: shard_batch(b, mesh),
+        place_batch=dev_place or (lambda b: shard_batch(b, mesh)),
         val_fn=val_fn, model_config=model_cfg, is_main_process=(pidx == 0),
         test_fn=test_fn, log_fn=log_fn,
     )

@@ -45,7 +45,8 @@ class _WeightedLoader:
     def __len__(self) -> int:
         return len(self.dataset) // self.batch_size
 
-    def __iter__(self):
+    def index_batches(self):
+        """Per-batch dataset indices (same contract as DataLoader.index_batches)."""
         from ..data.beat2 import weighted_indices
 
         idx = weighted_indices(self.labels, len(self.dataset), self.seed + self.epoch)
@@ -54,7 +55,10 @@ class _WeightedLoader:
             len(self), self.process_count, lb
         )[:, self.process_index].reshape(-1)
         for b in range(len(self)):
-            chunk = idx[b * lb : (b + 1) * lb]
+            yield idx[b * lb : (b + 1) * lb]
+
+    def __iter__(self):
+        for chunk in self.index_batches():
             yield self._collate([self.dataset[int(i)] for i in chunk])
 
 
@@ -80,6 +84,7 @@ def main():
     from ._train_common import (
         build_test_fn,
         make_log_fn,
+        maybe_device_resident,
         init_env,
         run_test_and_exit,
         seed_everything,
@@ -164,9 +169,10 @@ def main():
     )
     log_fn, log_finish = make_log_fn(cfg, pidx)
 
+    train_loader, dev_place = maybe_device_resident(cfg, train_loader, mesh)
     run_training(
         loop_cfg, step_fn, params, opt_state, train_loader,
-        place_batch=lambda b: shard_batch(b, mesh),
+        place_batch=dev_place or (lambda b: shard_batch(b, mesh)),
         val_fn=val_fn, model_config=model_cfg, is_main_process=(pidx == 0),
         test_fn=test_fn, log_fn=log_fn,
     )

@@ -74,6 +74,7 @@ class BEAT2Dataset:
         self.mean, self.std = 0.0, 1.0  # identity normalization (beat2.py:18-19)
         self._audio = _Cache(lambda p: load_audio(p, audio_sr), audio_cache)
         self._motion = _Cache(lambda p: beat_format_load(p), audio_cache)
+        self._footcontact = _Cache(lambda p: np.load(p), audio_cache)
 
     def __len__(self) -> int:
         return len(self.data_list)
@@ -85,14 +86,17 @@ class BEAT2Dataset:
         meta = self.data_list[item]
         sdx, edx = meta["start_idx"], meta["end_idx"]
         smplx_data = self._motion(meta["motion_path"])
-        poses = smplx_data["poses"]
+        # slice the clip window BEFORE the joint-mask gather: masking is a pure
+        # per-frame channel selection, so slice-then-select == select-then-slice,
+        # but the former touches pose_length frames instead of the whole take
+        # (takes are ~2000 frames; this was most of the per-item host cost)
+        motion = smplx_data["poses"][sdx:edx]
         # base/disco load with the joint mask applied; emage variants keep all 55
         # joints (beat2.py:38 vs :65, beat2_disco.py:62)
         if self.joint_mask is not None and self.variant in ("base", "disco"):
             from ..core.masking import select_with_mask
 
-            poses = select_with_mask(poses, self.joint_mask)
-        motion = poses[sdx:edx]
+            motion = select_with_mask(motion, self.joint_mask)
         k = SMPLX_FPS // self.pose_fps
         motion = self.normalize(motion[::k]).astype(np.float32)
 
@@ -108,7 +112,7 @@ class BEAT2Dataset:
             fc_path = meta["motion_path"].replace("smplxflame_30", "footcontact").replace(
                 ".npz", ".npy"
             )
-            out["foot_contact"] = np.load(fc_path)[sdx:edx].astype(np.float32)
+            out["foot_contact"] = self._footcontact(fc_path)[sdx:edx].astype(np.float32)
         if self.variant == "disco":
             out["content_label"] = np.asarray(meta["content_label"], np.int64)
             out["rhythm_label"] = np.asarray(meta["rhythm_label"], np.int64)
@@ -185,11 +189,18 @@ class DataLoader:
         lb = self.local_batch_size
         return per // lb if self.drop_last else int(np.ceil(per / lb))
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def index_batches(self) -> Iterator[np.ndarray]:
+        """Per-batch dataset indices for the current epoch — the exact item order
+        ``__iter__`` materializes. Lets a device-resident pipeline
+        (data/device_data.py) reuse the shuffle/shard/resume semantics while
+        shipping only indices to the device."""
         idx = self._indices()
         lb = self.local_batch_size
         for b in range(len(self)):
-            chunk = idx[b * lb : (b + 1) * lb]
+            yield idx[b * lb : (b + 1) * lb]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        for chunk in self.index_batches():
             yield collate([self.dataset[int(i)] for i in chunk])
 
 
