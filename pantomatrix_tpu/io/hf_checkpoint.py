@@ -76,7 +76,14 @@ def save_checkpoint(directory: str, params: Params, config=None) -> None:
     os.makedirs(directory, exist_ok=True)
     from safetensors.numpy import save_file
 
-    flat = {k: np.ascontiguousarray(v) for k, v in flatten_params(params).items()}
+    # contiguity is LOAD-BEARING (safetensors serializes raw buffers ignoring
+    # strides; TPU pulls can be non-contiguous views) but ascontiguousarray
+    # alone would promote 0-d leaves (BN num_batches_tracked) to 1-d
+    def host(v):
+        arr = np.asarray(v)
+        return arr if arr.flags["C_CONTIGUOUS"] else np.ascontiguousarray(arr)
+
+    flat = {k: host(v) for k, v in flatten_params(params).items()}
     save_file(flat, os.path.join(directory, SAFETENSORS_NAME))
     if config is not None:
         config.save_json(directory)

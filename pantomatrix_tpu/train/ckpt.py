@@ -25,8 +25,19 @@ from safetensors.numpy import load_file, save_file
 
 
 def _flatten(tree, prefix: str) -> Dict[str, np.ndarray]:
+    # ascontiguousarray is LOAD-BEARING: safetensors serializes the raw buffer of
+    # a non-contiguous ndarray in MEMORY order while recording the logical shape
+    # (silently permuting the elements). On TPU backends np.asarray of a conv
+    # kernel can expose the device layout as a non-C-contiguous view — without
+    # the copy, every conv weight in the checkpoint is scrambled (found via a
+    # full-budget run whose resume diverged; see PROFILE.md incident log).
+    def host(leaf):
+        arr = np.asarray(leaf)
+        # (ascontiguousarray directly would also promote 0-d scalars to 1-d)
+        return arr if arr.flags["C_CONTIGUOUS"] else np.ascontiguousarray(arr)
+
     leaves = jax.tree_util.tree_leaves(tree)
-    return {f"{prefix}.{i:05d}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    return {f"{prefix}.{i:05d}": host(leaf) for i, leaf in enumerate(leaves)}
 
 
 def _unflatten(flat: Dict[str, np.ndarray], prefix: str, template) -> Any:

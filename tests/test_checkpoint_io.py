@@ -30,6 +30,37 @@ def test_flatten_unflatten_roundtrip():
     np.testing.assert_array_equal(np.asarray(back["a"]["c"]["d"]), tree["a"]["c"]["d"])
 
 
+def test_train_state_noncontiguous_leaves_roundtrip(tmp_path):
+    """Regression for the full-budget-run checkpoint corruption (round 4): on TPU
+    backends np.asarray of a conv-kernel leaf can return a NON-C-CONTIGUOUS view
+    of the device layout, and safetensors serializes the raw buffer in memory
+    order while recording the logical shape — silently permuting the elements.
+    save_train_state must force contiguity; this test feeds transposed views
+    (the CPU-reproducible stand-in for a TPU device layout) through the whole
+    save/load path and requires an exact round-trip."""
+    from pantomatrix_tpu.train.ckpt import load_train_state, save_train_state
+
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=(15, 1, 32)).astype(np.float32)
+    tree = {
+        "conv": {"weight": base.T},        # (32, 1, 15) non-contiguous view
+        "lin": {"weight": rng.normal(size=(8, 4)).astype(np.float32)[:, ::2]},
+        "scalar": np.float32(3.0),
+    }
+    assert not tree["conv"]["weight"].flags["C_CONTIGUOUS"]
+    opt = {"mu": {"conv": {"weight": np.zeros((32, 1, 15), np.float32)}}}
+    path = str(tmp_path / "state.bin")
+    save_train_state(path, tree, opt, 7)
+    lp, lo, it, _ = load_train_state(path, tree, opt)
+    assert it == 7
+    for (k1, a), (k2, b) in zip(
+        jax.tree_util.tree_leaves_with_path(tree),
+        jax.tree_util.tree_leaves_with_path(lp),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(k1))
+
+
 def test_save_load_roundtrip(tmp_path):
     cfg = CamnAudioConfig(hidden_size=32, n_layer=1)
     model = CamnAudioModel(cfg, seed=0)
