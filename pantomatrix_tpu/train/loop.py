@@ -143,6 +143,27 @@ def run_training(
             "with drop_last) — the step loop would never advance"
         )
     keeper = BestKeeper(loop_cfg.ckpt_dir, model_config)
+
+    # FSDP x multi-process: live params/opt leaves are sharded over devices other
+    # processes own, so val/test/checkpoint paths (which pull leaves to host)
+    # need an all-gathered replicated copy. The gather is a COLLECTIVE — it runs
+    # on every process; only the host pulls stay rank-0. Identity elsewhere.
+    _mesh = getattr(step_fn, "mesh", None)
+    _needs_gather = False
+    if _mesh is not None and jax.process_count() > 1:
+        from .mesh import fsdp_enabled as _fsdp_enabled
+
+        _needs_gather = (_fsdp_enabled(_mesh)
+                         and getattr(step_fn, "param_placement", "") == "inherit")
+
+    def eval_state(p, o=None):
+        if not _needs_gather:
+            return p, o
+        from .mesh import gather_replicated
+
+        return (gather_replicated(p, _mesh),
+                None if o is None else gather_replicated(o, _mesh))
+
     rng = jax.random.PRNGKey(loop_cfg.seed)
     meters = Meters()
     steps_per_epoch = max(len(train_loader), 1)
@@ -233,9 +254,10 @@ def run_training(
             meters.reset()
 
         if val_fn is not None and iteration % loop_cfg.validation_steps == 0:
-            metric = float(val_fn(params, iteration))
+            eval_params, eval_opt = eval_state(params, opt_state)
+            metric = float(val_fn(eval_params, iteration))
             if is_main_process:
-                improved = keeper.update(metric, params, opt_state, iteration,
+                improved = keeper.update(metric, eval_params, eval_opt, iteration,
                                          extra={"best_test": best_test,
                                                 "best_test_embedder": best_test_embedder})
                 last_saved = iteration
@@ -245,8 +267,12 @@ def run_training(
                     log_fn(iteration, {"val/metric": metric})
 
         if (test_fn is not None and loop_cfg.test_steps
-                and iteration % loop_cfg.test_steps == 0 and is_main_process):
-            tmetrics = test_fn(params, iteration)
+                and iteration % loop_cfg.test_steps == 0):
+            # the gather is collective (all ranks); the test pass itself is rank-0
+            test_params, _ = eval_state(params)
+            if not is_main_process:
+                continue
+            tmetrics = test_fn(test_params, iteration)
             msg = " ".join(
                 f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
                 for k, v in sorted(tmetrics.items())
@@ -271,7 +297,7 @@ def run_training(
                 from ..io.hf_checkpoint import save_checkpoint
 
                 save_checkpoint(os.path.join(loop_cfg.ckpt_dir, "test_best"),
-                                params, model_config)
+                                test_params, model_config)
                 msg += " (new test best)"
             print(f"test @ {iteration}: {msg}")
             if log_fn:
@@ -279,11 +305,14 @@ def run_training(
                                    for k, v in tmetrics.items()
                                    if isinstance(v, (int, float))})
 
-    if is_main_process and last_saved != iteration:
-        # always persist the final params (inf metric never displaces the best)
-        keeper.update(float("inf"), params, opt_state, iteration,
-                      extra={"best_test": best_test,
-                             "best_test_embedder": best_test_embedder})
+    if last_saved != iteration:
+        # always persist the final params (inf metric never displaces the best);
+        # the gather is collective, the write is rank-0
+        final_params, final_opt = eval_state(params, opt_state)
+        if is_main_process:
+            keeper.update(float("inf"), final_params, final_opt, iteration,
+                          extra={"best_test": best_test,
+                                 "best_test_embedder": best_test_embedder})
     return params, opt_state, iteration
 
 

@@ -96,13 +96,6 @@ def make_train_mesh(batch_size: int, model_axis: int = 1) -> Mesh:
     (solver.fsdp_model_axis in the train CLIs)."""
     if model_axis <= 1:
         return make_data_mesh(batch_size)
-    if jax.process_count() > 1:
-        raise NotImplementedError(
-            "fsdp_model_axis>1 with multi-process training is not supported yet: "
-            "the val/test passes pull params to host assuming replicated leaves "
-            "(eval/test_flow.py local_params). Use FSDP on single-process "
-            "multi-chip hosts, or model_axis=1 across processes."
-        )
     n = len(jax.devices())
     if n % model_axis:
         raise ValueError(f"fsdp_model_axis={model_axis} must divide the device "
@@ -162,17 +155,37 @@ def shard_tree_fsdp(tree, mesh: Mesh, axis: str = "model"):
     The train steps inherit input shardings for params/opt_state
     (train/steps.py ``_make_step``), so placing trees with this helper before
     training is the whole opt-in."""
+    multiproc = jax.process_count() > 1
+
     def place(x):
+        sh = NamedSharding(mesh, fsdp_spec(np.shape(x), mesh, axis))
+        if multiproc:
+            # the mesh spans devices this process can't address, so a plain
+            # device_put of host data is illegal for a *sharded* target; build
+            # the global array from per-shard host slices instead (every
+            # process holds the same full value — train CLIs init/restore
+            # identically on all ranks)
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
         x = np.asarray(x) if not hasattr(x, "sharding") else x
-        return jax.device_put(
-            x, NamedSharding(mesh, fsdp_spec(np.shape(x), mesh, axis))
-        )
+        return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(place, tree)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def gather_replicated(tree, mesh: Mesh):
+    """All-gather an FSDP-sharded tree into fully-replicated form (one compiled
+    identity program with replicated out_shardings — XLA emits the all-gathers
+    over ICI). Under multi-process training this is a COLLECTIVE: every process
+    must call it. The result is fully addressable on every process, so val/test
+    passes and checkpoint writes can pull leaves to host (the pod-scale analogue
+    of the reference's rank-0 eval over DDP-replicated weights,
+    /root/reference/train_emage_audio.py:214-251,320)."""
+    return jax.jit(lambda t: t, out_shardings=replicated(mesh))(tree)
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
@@ -203,7 +216,7 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, replicated(mesh)), tree)
 
 
-__all__ = ["data_sharding", "fsdp_enabled", "fsdp_spec", "make_data_mesh",
-           "make_mesh", "make_train_mesh", "maybe_init_distributed",
-           "place_train_state", "replicate", "replicated", "shard_batch",
-           "shard_tree_fsdp"]
+__all__ = ["data_sharding", "fsdp_enabled", "fsdp_spec", "gather_replicated",
+           "make_data_mesh", "make_mesh", "make_train_mesh",
+           "maybe_init_distributed", "place_train_state", "replicate",
+           "replicated", "shard_batch", "shard_tree_fsdp"]

@@ -294,3 +294,66 @@ def test_two_process_train_bitwise_equals_single_process(mp_beat2, tmp_path):
     mpath = os.path.join(out_p0, exp0, "test_4", "metrics.json")
     assert os.path.exists(mpath)
     assert json.load(open(mpath))["fgd_embedder"] == "stats"
+
+
+def test_two_process_fsdp_equals_single_process_fsdp(mp_beat2, tmp_path):
+    """FSDP/ZeRO-3 across REAL processes (VERDICT r3 #3): 2 processes x 4 devices
+    with a (4, 2) ("data","model") mesh must train to the same params as ONE
+    process x 8 devices with the identical mesh shape. Exercises the
+    multi-process shard_tree_fsdp placement (make_array_from_callback), the
+    collective gather_replicated in the val/test/final checkpoint paths, and
+    rank-0-only writes of all-gathered weights."""
+    train_meta, test_meta = mp_beat2
+    out_single = str(tmp_path / "single_fsdp")
+    out_p0 = str(tmp_path / "proc0_fsdp")
+    out_p1 = str(tmp_path / "proc1_fsdp")
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    argv = _emage_argv(train_meta, test_meta, "PLACEHOLDER")
+    argv = [a for a in argv if not a.startswith("output_dir=")]
+    argv += ["solver.fsdp_model_axis=2"]
+
+    mp_env = {
+        "PANTO_COORDINATOR": f"localhost:{port}",
+        "PANTO_NUM_PROCESSES": "2",
+    }
+    procs = [
+        _launch(argv + [f"output_dir={out_single}"], 8, {},
+                tmp_path / "single_fsdp.log"),
+        _launch(argv + [f"output_dir={out_p0}"], 4,
+                {**mp_env, "PANTO_PROCESS_ID": "0"}, tmp_path / "p0_fsdp.log"),
+        _launch(argv + [f"output_dir={out_p1}"], 4,
+                {**mp_env, "PANTO_PROCESS_ID": "1"}, tmp_path / "p1_fsdp.log"),
+    ]
+    try:
+        for p, log in procs:
+            p.wait(timeout=1500)
+            log.close()
+    finally:
+        for p, log in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for name in ("single_fsdp", "p0_fsdp", "p1_fsdp"):
+        txt = open(tmp_path / f"{name}.log").read()
+        assert "WORKER_DONE" in txt, f"{name} failed:\n{txt[-4000:]}"
+
+    # both jobs run the SAME (4, 2) GSPMD partitioning, so contraction order
+    # matches shard-for-shard; only the cross-process collective transport
+    # differs (gloo vs in-process) — last-ulp bounds like the DP test
+    path_s, single = _last_ckpt_params(out_single)
+    path_0, proc0 = _last_ckpt_params(out_p0)
+    assert single.keys() == proc0.keys()
+    for k in single:
+        np.testing.assert_allclose(
+            single[k], proc0[k], atol=2e-6, rtol=1e-5,
+            err_msg=f"{k} ({path_s} vs {path_0})",
+        )
+    # rank-1 must not write checkpoints; rank-0's exist (the all-gathered save)
+    exps1 = os.listdir(out_p1)
+    assert not any(
+        os.path.exists(os.path.join(out_p1, e, "ckpt", "last.bin")) for e in exps1
+    )
