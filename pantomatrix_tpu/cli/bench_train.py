@@ -8,7 +8,13 @@ Usage:
         [--batch 64] [--frames 128] [--k 10] [--repeats 5]
 
 Prints one JSON line per run: {"family", "dtype", "batch", "frames",
-"ms_per_step": median, "ms_min", "ms_max", "steps_per_s"}.
+"ms_per_step": median, "ms_min", "ms_max", "steps_per_s", "tflops", "mfu"}.
+
+FLOPs come from XLA's cost model on the ALREADY-COMPILED fused program:
+``cost_analysis()`` counts a ``lax.scan`` body ONCE regardless of trip count
+(same property bench.py exploits), so the k-fused program's flop count IS the
+per-step cost (plus a negligible prologue). MFU is reported against the chip's
+bf16 peak — the f32 rows therefore read conservatively low on the MXU.
 
 Synthetic random batches (numerics cost is weight-independent); fused
 ``k`` steps per dispatch exactly as the shipped configs run
@@ -147,12 +153,30 @@ def main():
         assert np.isfinite(probe)
     times = sorted(times)
     med = times[len(times) // 2]
+
+    # FLOPs/MFU from the compiled fused program (free: jit caches the
+    # executable; scan body counted once — see module docstring). bf16 peak
+    # table mirrors bench.py's _PEAK_TFLOPS (public spec sheets).
+    peaks = {"v4": 275.0, "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
+             "v6 lite": 918.0, "v6e": 918.0}
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    peak = next((v for pat, v in peaks.items() if pat in kind), 197.0)
+    ca = multi.lower(params, opt_state, stacked, key,
+                     jnp.asarray(0, jnp.int32)).compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    flops_per_step = float(ca["flops"])
+    tflops = flops_per_step / (med / 1000.0) / 1e12
+    mfu = tflops / peak
+    assert mfu < 1.0, f"impossible MFU {mfu:.3f} — timing did not force completion"
+
     print(json.dumps({
         "family": args.family, "dtype": args.dtype or "float32",
         "batch": bs, "frames": frames, "k": k, "repeats": args.repeats,
         "ms_per_step": round(med, 2), "ms_min": round(times[0], 2),
         "ms_max": round(times[-1], 2), "steps_per_s": round(1000.0 / med, 2),
-        "compile_s": round(compile_s, 1),
+        "flops_per_step": flops_per_step, "tflops": round(tflops, 2),
+        "mfu": round(mfu, 4), "compile_s": round(compile_s, 1),
     }))
 
 
