@@ -46,7 +46,37 @@ def init_env(default_config: str) -> DotDict:
     os.makedirs(cfg.output_dir, exist_ok=True)
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     snapshot_sanity_check(cfg.output_dir, cfg, pkg_root)
+    guard_tiny_batch_bf16(cfg)
     return cfg
+
+
+def guard_tiny_batch_bf16(cfg, backend: str | None = None) -> bool:
+    """Force f32 for batch<=2 + bf16 on TPU, where the conv-stack families SIGABRT
+    the XLA:TPU compiler's space_to_batch_converter pass (PROFILE.md "full-budget"
+    finding 3). The reference's primary smoke mode is tiny-batch ``--debug``
+    (/root/reference/train_emage_audio.py:581-584), so this configuration is
+    user-reachable from every shipped config (compute_dtype defaults to bfloat16)
+    — without the guard the user gets an uncatchable compiler abort, not a Python
+    error. Returns True when the override fired."""
+    try:
+        bs = int(cfg.data.train_bs)
+        dtype = str(cfg.solver.get("compute_dtype") or "")
+    except Exception:
+        return False
+    if bs > 2 or dtype != "bfloat16":
+        return False
+    if backend is None:
+        import jax
+
+        backend = jax.default_backend()
+    if backend == "cpu":
+        return False
+    print(f"WARNING: batch_size={bs} with compute_dtype=bfloat16 SIGABRTs the "
+          "XLA:TPU compiler (space_to_batch_converter) on conv-stack models; "
+          "forcing compute_dtype=float32 for this run. Use batch_size>=4 to "
+          "keep bfloat16.")
+    cfg.solver.compute_dtype = "float32"
+    return True
 
 
 def seed_everything(seed: int) -> None:

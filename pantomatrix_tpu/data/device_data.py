@@ -95,14 +95,28 @@ def stage_dataset(dataset, max_bytes: Optional[int] = None) -> Dict[str, np.ndar
             poses = select_with_mask(poses, dataset.joint_mask)
         motion_parts.append(np.ascontiguousarray(
             dataset.normalize(poses).astype(np.float32)))
+        nframes = len(motion_parts[-1])
+
+        def _aligned(arr, name):
+            # every per-frame aux buffer shares frame_off (built from poses): a
+            # take whose aux array is longer would shift the offsets of every
+            # subsequent take (XLA dynamic_slice clamps instead of failing), so
+            # truncate to the take's frame count; shorter means a window the
+            # host loader would fail loudly on — fail loudly here too.
+            if len(arr) < nframes:
+                raise StagingUnsupported(f"{p}: {name} shorter than take "
+                                         f"({len(arr)} < {nframes})")
+            return np.ascontiguousarray(arr[:nframes])
+
         if with_extras:
-            expr_parts.append(smplx_data["expressions"].astype(np.float32))
-            trans_parts.append(smplx_data["trans"].astype(np.float32))
+            expr_parts.append(_aligned(
+                smplx_data["expressions"].astype(np.float32), "expressions"))
+            trans_parts.append(_aligned(
+                smplx_data["trans"].astype(np.float32), "trans"))
         if with_fc:
             fc_path = p.replace("smplxflame_30", "footcontact").replace(".npz", ".npy")
-            fc_parts.append(dataset._footcontact(fc_path).astype(np.float32))
-            if len(fc_parts[-1]) < len(motion_parts[-1]):
-                raise StagingUnsupported(f"{fc_path}: foot contact shorter than take")
+            fc_parts.append(_aligned(
+                dataset._footcontact(fc_path).astype(np.float32), "foot contact"))
         audio = dataset._audio(_audio_path_of(dataset, p))
         audio_parts.append(np.asarray(audio, np.float32))
         if audio_i16 and _audio_as_int16(audio_parts[-1]) is None:

@@ -256,11 +256,15 @@ def run_training(
         if val_fn is not None and iteration % loop_cfg.validation_steps == 0:
             eval_params, eval_opt = eval_state(params, opt_state)
             metric = float(val_fn(eval_params, iteration))
+            # rank-uniform: the final-block eval_state at loop exit is gated on
+            # last_saved != iteration, and eval_state is a COLLECTIVE under
+            # multi-process FSDP — updating last_saved only on rank 0 would make
+            # rank 0 skip the final gather while other ranks issue it (deadlock)
+            last_saved = iteration
             if is_main_process:
                 improved = keeper.update(metric, eval_params, eval_opt, iteration,
                                          extra={"best_test": best_test,
                                                 "best_test_embedder": best_test_embedder})
-                last_saved = iteration
                 print(f"val @ {iteration}: metric={metric:.4f}"
                       + (" (new best)" if improved else ""))
                 if log_fn:
@@ -269,46 +273,50 @@ def run_training(
         if (test_fn is not None and loop_cfg.test_steps
                 and iteration % loop_cfg.test_steps == 0):
             # the gather is collective (all ranks); the test pass itself is rank-0
+            # (guarded by indentation, not `continue`, so code appended after this
+            # block still runs on every rank)
             test_params, _ = eval_state(params)
-            if not is_main_process:
-                continue
-            tmetrics = test_fn(test_params, iteration)
-            msg = " ".join(
-                f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
-                for k, v in sorted(tmetrics.items())
-            )
-            tmetric = float(tmetrics.get("fgd", float("inf")))
-            # never mix FGD values from different embedders in best-test
-            # selection: a stats-embedder number is incomparable to an
-            # aeskconv one (eval/metrics.py FGD.embedder_kind)
-            embedder = str(tmetrics.get("fgd_embedder", ""))
-            if embedder != best_test_embedder:
-                # an unknown previous embedder ("" — e.g. a checkpoint resumed
-                # from before provenance was recorded) is just as incomparable
-                # as a known different one, so any finite best_test resets
-                if best_test != float("inf"):
-                    print(f"test: fgd embedder changed "
-                          f"{best_test_embedder!r} -> {embedder!r}; "
-                          "resetting test_best tracking")
-                    best_test = float("inf")
-                best_test_embedder = embedder
-            if tmetric < best_test:
-                best_test = tmetric
-                from ..io.hf_checkpoint import save_checkpoint
+            if is_main_process:
+                tmetrics = test_fn(test_params, iteration)
+                msg = " ".join(
+                    f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+                    for k, v in sorted(tmetrics.items())
+                )
+                tmetric = float(tmetrics.get("fgd", float("inf")))
+                # never mix FGD values from different embedders in best-test
+                # selection: a stats-embedder number is incomparable to an
+                # aeskconv one (eval/metrics.py FGD.embedder_kind)
+                embedder = str(tmetrics.get("fgd_embedder", ""))
+                if embedder != best_test_embedder:
+                    # an unknown previous embedder ("" — e.g. a checkpoint resumed
+                    # from before provenance was recorded) is just as incomparable
+                    # as a known different one, so any finite best_test resets
+                    if best_test != float("inf"):
+                        print(f"test: fgd embedder changed "
+                              f"{best_test_embedder!r} -> {embedder!r}; "
+                              "resetting test_best tracking")
+                        best_test = float("inf")
+                    best_test_embedder = embedder
+                if tmetric < best_test:
+                    best_test = tmetric
+                    from ..io.hf_checkpoint import save_checkpoint
 
-                save_checkpoint(os.path.join(loop_cfg.ckpt_dir, "test_best"),
-                                test_params, model_config)
-                msg += " (new test best)"
-            print(f"test @ {iteration}: {msg}")
-            if log_fn:
-                log_fn(iteration, {f"test/{k}": float(v)
-                                   for k, v in tmetrics.items()
-                                   if isinstance(v, (int, float))})
+                    save_checkpoint(os.path.join(loop_cfg.ckpt_dir, "test_best"),
+                                    test_params, model_config)
+                    msg += " (new test best)"
+                print(f"test @ {iteration}: {msg}")
+                if log_fn:
+                    log_fn(iteration, {f"test/{k}": float(v)
+                                       for k, v in tmetrics.items()
+                                       if isinstance(v, (int, float))})
 
     if last_saved != iteration:
         # always persist the final params (inf metric never displaces the best);
         # the gather is collective, the write is rank-0
         final_params, final_opt = eval_state(params, opt_state)
+        # force the collective on EVERY rank before anyone exits: an async
+        # orphaned gather would otherwise let a rank-divergence bug pass silently
+        jax.block_until_ready(final_params)
         if is_main_process:
             keeper.update(float("inf"), final_params, final_opt, iteration,
                           extra={"best_test": best_test,

@@ -185,7 +185,17 @@ def gather_replicated(tree, mesh: Mesh):
     passes and checkpoint writes can pull leaves to host (the pod-scale analogue
     of the reference's rank-0 eval over DDP-replicated weights,
     /root/reference/train_emage_audio.py:214-251,320)."""
-    return jax.jit(lambda t: t, out_shardings=replicated(mesh))(tree)
+    # jax caches compiled executables by FUNCTION IDENTITY (CLAUDE.md pitfall):
+    # a fresh lambda per call would re-trace the identity all-gather over the
+    # full params+opt trees on EVERY val/test/final gather. Cache per mesh.
+    fn = _GATHER_CACHE.get(mesh)
+    if fn is None:
+        fn = jax.jit(lambda t: t, out_shardings=replicated(mesh))
+        _GATHER_CACHE[mesh] = fn
+    return fn(tree)
+
+
+_GATHER_CACHE: dict = {}
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):

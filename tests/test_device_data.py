@@ -157,3 +157,49 @@ def test_hbm_budget_raises(beat2_root):
     ds = BEAT2Dataset([beat2_root], "train")
     with pytest.raises(StagingUnsupported):
         stage_dataset(ds, max_bytes=1024)
+
+
+def _rewrite_take0(beat2_root, tmp_path, **edits):
+    """Copy the first take's npz/footcontact with edited per-frame lengths and
+    return a meta path whose clips point at the copies."""
+    metas = json.load(open(beat2_root))
+    src = metas[0]["motion_path"]
+    data = dict(np.load(src))
+    fc = np.load(src.replace("smplxflame_30", "footcontact").replace(".npz", ".npy"))
+    for k, n in edits.items():
+        if k == "foot_contact":
+            fc = fc[:n] if n < len(fc) else np.concatenate([fc, fc[: n - len(fc)]])
+        else:
+            a = data[k]
+            data[k] = a[:n] if n < len(a) else np.concatenate([a, a[: n - len(a)]])
+    (tmp_path / "smplxflame_30").mkdir(exist_ok=True)
+    (tmp_path / "footcontact").mkdir(exist_ok=True)
+    vid = metas[0]["video_id"]
+    np.savez(tmp_path / "smplxflame_30" / f"{vid}.npz", **data)
+    np.save(tmp_path / "footcontact" / f"{vid}.npy", fc)
+    for m in metas:
+        if m["video_id"] == vid:
+            m["motion_path"] = str(tmp_path / "smplxflame_30" / f"{vid}.npz")
+    meta2 = tmp_path / "meta.json"
+    meta2.write_text(json.dumps(metas))
+    return str(meta2)
+
+
+def test_aux_longer_than_take_is_truncated_not_shifted(beat2_root, tmp_path):
+    """A take whose expressions/trans/foot_contact run LONGER than its poses must
+    not shift frame offsets for subsequent takes (silent wrong data): the staged
+    batches must still match the host loader bit-for-bit."""
+    meta2 = _rewrite_take0(beat2_root, tmp_path,
+                           expressions=97, trans=95, foot_contact=99)
+    ds = BEAT2Dataset([meta2], "train", pose_fps=30, variant="emage_footcontact")
+    host = DataLoader(ds, batch_size=3, shuffle=True, seed=11)
+    dev = DeviceResidentLoader(DataLoader(ds, batch_size=3, shuffle=True, seed=11))
+    for host_batch, idx_batch in zip(host, dev):
+        _assert_batches_equal(host_batch, dev.place_batch(idx_batch))
+
+
+def test_aux_shorter_than_take_raises(beat2_root, tmp_path):
+    meta2 = _rewrite_take0(beat2_root, tmp_path, expressions=80)
+    ds = BEAT2Dataset([meta2], "train", pose_fps=30, variant="emage_footcontact")
+    with pytest.raises(StagingUnsupported):
+        stage_dataset(ds)
