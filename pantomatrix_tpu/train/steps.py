@@ -394,6 +394,104 @@ def make_disco_train_step(
                       param_placement=param_placement)
 
 
+def vq_global_vae_target(lower_stream: jnp.ndarray) -> jnp.ndarray:
+    """Training target for the global-translation VAE.
+
+    The pretrained upstream VAE maps a 61-d lower stream (54 rot6d + 3 absolute
+    trans + 4 contact) to a 61-d reconstruction whose channels [54:57] the
+    composite decode interprets as (x-VELOCITY, y-height, z-VELOCITY)
+    (/root/reference/models/emage_audio/modeling_emage_audio.py:195-205, the
+    velocity2position integration). The PantoMatrix snapshot ships no trainer for
+    it (the checkpoint comes from the hub), so this stage defines the target the
+    inference contract implies: identical stream with the trans slots replaced by
+    the forward-difference velocity that velocity2position inverts exactly —
+    v[t] = (pos[t+1] - pos[t]) * fps, last frame repeated (its velocity is never
+    integrated). tests/test_train_steps.py pins the round trip
+    velocity2position(target_v) == abs_trans.
+    """
+    pos = lower_stream[:, :, 54:57]
+    vel = (pos[:, 1:] - pos[:, :-1]) * 30.0
+    vel = jnp.concatenate([vel, vel[:, -1:]], axis=1)
+    y = pos[:, :, 1:2]
+    v_xz = jnp.concatenate([vel[:, :, 0:1], y, vel[:, :, 2:3]], axis=2)
+    return jnp.concatenate([lower_stream[:, :, :54], v_xz,
+                            lower_stream[:, :, 57:]], axis=2)
+
+
+def make_vq_train_step(
+    suite: EmageVQSuite,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "data",
+    param_placement: str = "replicated",
+    compute_dtype: Optional[str] = None,
+    vel_weight: float = 1.0,
+) -> Callable:
+    """Pretrain the five EMAGE motion tokenizers jointly in ONE device program.
+
+    The reference repo USES five frozen pretrained VQ/VAE models
+    (/root/reference/train_emage_audio.py:230-241) but ships no trainer for them
+    (they download from the hub, test_emage_audio.py:82-93) — without this stage an
+    offline full-budget EMAGE run can only train against random tokenizers, whose
+    decode is noise regardless of how well the audio model predicts their codes
+    (the round-4 flat-val-FGD failure). Objective per part VQ-VAE: reconstruction
+    MSE on the part stream + first-difference velocity MSE (weight ``vel_weight``)
+    + the Quantizer's codebook/commitment loss (nn/vq.py, straight-through). The
+    global VAE trains on the velocity-target stream (vq_global_vae_target).
+
+    The five models are independent; summing their losses into one jit gives XLA
+    five parallel subgraphs per step — one dispatch, one optimizer, one params
+    tree {"face","upper","hands","lower","global_motion"}.
+    """
+    from ..models.emage_vq import vae_forward, vq_split_inputs, vqvae_forward
+
+    cdt = _cast_mode(compute_dtype)
+    cfgs = {part: getattr(suite, part)[1]
+            for part in ("face", "upper", "hands", "lower", "global_motion")}
+
+    def loss_fn(trainable, buffers, batch, rng):
+        del rng
+        motion_gt = batch["motion"]
+        bs, t, jc = motion_gt.shape
+        j = jc // 3
+        rot6d = axis_angle_to_rotation_6d(
+            motion_gt.reshape(bs, t, j, 3)).reshape(bs, t, j * 6)
+        streams = vq_split_inputs(rot6d, batch["expressions"],
+                                  batch["foot_contact"], batch["trans"])
+        params = combine_params(_cast_inputs(cdt, trainable), buffers)
+        losses: Dict[str, jnp.ndarray] = {}
+
+        def rec_terms(rec, target, name):
+            rec = rec.astype(jnp.float32)
+            r = jnp.mean((rec - target) ** 2)
+            v = jnp.mean(((rec[:, 1:] - rec[:, :-1])
+                          - (target[:, 1:] - target[:, :-1])) ** 2)
+            losses[f"rec_{name}"] = r
+            losses[f"vel_{name}"] = v
+            return r + vel_weight * v
+
+        total = jnp.zeros((), jnp.float32)
+        for part in ("face", "upper", "hands", "lower"):
+            x = streams[part]
+            x_in = _cast_inputs(cdt, x)
+            out = vqvae_forward(params[part], cfgs[part], x_in)
+            emb = out["embedding_loss"].astype(jnp.float32)
+            losses[f"emb_{part}"] = emb
+            losses[f"ppl_{part}"] = out["perplexity"].astype(jnp.float32)
+            total = total + rec_terms(out["rec_pose"], x, part) + emb
+        g_target = vq_global_vae_target(streams["lower"])
+        g_in = _cast_inputs(cdt, streams["lower"])
+        g_rec = vae_forward(params["global_motion"], cfgs["global_motion"], g_in)
+        total = total + rec_terms(g_rec["rec_pose"], g_target, "global")
+        losses["all_loss"] = total
+        # VQ encoders/decoders are BN-free (conv + LeakyReLU ResBlocks); buffers
+        # pass through unchanged so the step keeps the shared plumbing's contract
+        return total, (losses, buffers)
+
+    return _make_step(loss_fn, optimizer, mesh, axis_name, with_iteration=False,
+                      spmd="pjit", param_placement=param_placement)
+
+
 # ---------------------------------------------------------------------------
 # shared plumbing
 # ---------------------------------------------------------------------------

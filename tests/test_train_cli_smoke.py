@@ -304,3 +304,59 @@ def test_train_camn_fsdp_debug(tmp_path, mini_beat2):
 
     _run_cli(main, tmp_path, mini_beat2,
              extra=["solver.fsdp_model_axis=4"])  # 8 devices -> data axis 2, bs 2
+
+
+def test_guard_tiny_batch_bf16():
+    """bs<=2 + bfloat16 on a non-CPU backend forces f32 (PROFILE.md: the XLA:TPU
+    compiler SIGABRTs on the conv-stack families at this configuration); CPU and
+    bs>=4 configurations are untouched."""
+    from pantomatrix_tpu.cli._train_common import guard_tiny_batch_bf16
+    from pantomatrix_tpu.utils.config import DotDict
+
+    def cfg(bs, dtype):
+        return DotDict.wrap({"data": {"train_bs": bs},
+                             "solver": {"compute_dtype": dtype}})
+
+    c = cfg(2, "bfloat16")
+    assert guard_tiny_batch_bf16(c, backend="tpu")
+    assert c.solver.compute_dtype == "float32"
+
+    c = cfg(2, "bfloat16")
+    assert not guard_tiny_batch_bf16(c, backend="cpu")
+    assert c.solver.compute_dtype == "bfloat16"
+
+    c = cfg(56, "bfloat16")
+    assert not guard_tiny_batch_bf16(c, backend="tpu")
+    assert c.solver.compute_dtype == "bfloat16"
+
+    c = cfg(2, "float32")
+    assert not guard_tiny_batch_bf16(c, backend="tpu")
+    assert c.solver.compute_dtype == "float32"
+
+
+def test_train_emage_vq_debug_then_emage_from_vq_path(tmp_path, mini_beat2):
+    """The tokenizer-pretraining stage exports the --vq_path layout the EMAGE
+    trainer loads: train VQ suite (debug) -> emage_vq/{face,...,global}/ ->
+    train_emage --vq_path <exp_dir> consumes it end to end."""
+    from pantomatrix_tpu.cli.train_emage_vq import main as vq_main
+
+    _run_cli(vq_main, tmp_path, mini_beat2)
+    exp = os.path.join(tmp_path, sorted(os.listdir(tmp_path))[0])
+    root = os.path.join(exp, "emage_vq")
+    for name in ("face", "upper", "hands", "lower", "global"):
+        assert os.path.exists(os.path.join(root, name, "model.safetensors")), name
+        assert os.path.exists(os.path.join(root, name, "config.json")), name
+
+    from pantomatrix_tpu.cli.train_emage import main as emage_main
+
+    out2 = os.path.join(tmp_path, "emage_from_vq")
+    os.makedirs(out2)
+    _run_cli(
+        emage_main, out2, mini_beat2,
+        extra=[
+            "--vq_path", exp,
+            "model.audio_f=32", "model.motion_f=16", "model.speaker_dims=4",
+            "model.pose_length=32", "model.seed_frames=4",
+            "model.vae_codebook_size=256", "model.vae_length=256",
+        ],
+    )

@@ -776,3 +776,89 @@ def test_shard_map_rejects_param_placement():
     with pytest.raises(ValueError, match="pjit-path option"):
         make_camn_train_step(CAMN_CFG, optax.sgd(0.1), make_mesh(2),
                              spmd="shard_map", param_placement="inherit")
+
+
+# ---------------------------------------------------------------------------
+# VQ tokenizer pretraining (make_vq_train_step)
+# ---------------------------------------------------------------------------
+
+def test_vq_global_vae_target_roundtrip():
+    """velocity2position must exactly invert the velocity-target construction:
+    integrating the target's x/z velocity channels from frame 0 reproduces the
+    absolute translation (the contract vq_get_global_motion relies on,
+    modeling_emage_audio.py:195-205)."""
+    from pantomatrix_tpu.core.integrate import velocity2position
+    from pantomatrix_tpu.train.steps import vq_global_vae_target
+
+    rng = np.random.RandomState(0)
+    lower = jnp.asarray(rng.uniform(-1, 1, (2, 16, 61)).astype(np.float32))
+    target = vq_global_vae_target(lower)
+    # rot6d + contact channels untouched
+    np.testing.assert_array_equal(target[:, :, :54], lower[:, :, :54])
+    np.testing.assert_array_equal(target[:, :, 57:], lower[:, :, 57:])
+    # y passes through directly
+    np.testing.assert_array_equal(target[:, :, 55], lower[:, :, 55])
+    # x/z integrate back to the absolute positions
+    x = velocity2position(target[:, :, 54:55], 1.0 / 30, lower[:, 0, 54:55])
+    z = velocity2position(target[:, :, 56:57], 1.0 / 30, lower[:, 0, 56:57])
+    np.testing.assert_allclose(np.asarray(x), np.asarray(lower[:, :, 54:55]),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(lower[:, :, 56:57]),
+                               atol=2e-6)
+
+
+def test_vq_train_step_runs_and_learns():
+    """One device program trains all five tokenizers: losses finite, every
+    sub-model's params move, and reconstruction improves over 40 steps."""
+    from pantomatrix_tpu.train.steps import make_vq_train_step
+
+    suite = tiny_suite(jax.random.PRNGKey(3))
+    parts = ("face", "upper", "hands", "lower", "global_motion")
+    params = {p: getattr(suite, p)[0] for p in parts}
+    # steps donate params/opt_state: snapshot before training (repo convention)
+    old_leaves = {part: [np.asarray(l).copy()
+                         for l in jax.tree_util.tree_leaves(params[part])]
+                  for part in parts}
+    mesh = make_mesh(4)
+    opt = make_optimizer(learning_rate=2e-3)
+    step = make_vq_train_step(suite, opt, mesh)
+    opt_state = init_opt_state(opt, params)
+    batch = emage_batch(bs=8)
+    p, o = replicate(params, mesh), replicate(opt_state, mesh)
+    sb = shard_batch(batch, mesh)
+    first = None
+    for i in range(40):
+        p, o, losses = step(p, o, sb, jax.random.PRNGKey(i), jnp.zeros(()))
+        if first is None:
+            first = {k: float(v) for k, v in losses.items()}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    for part in parts:
+        flat_new = jax.tree_util.tree_leaves(p[part])
+        moved = any(not np.allclose(a, np.asarray(b))
+                    for a, b in zip(old_leaves[part], flat_new))
+        assert moved, f"{part} params did not update"
+    rec_keys = [k for k in losses if k.startswith("rec_")]
+    assert rec_keys
+    assert sum(float(losses[k]) for k in rec_keys) < sum(first[k] for k in rec_keys), \
+        "reconstruction did not improve over 40 same-batch steps"
+
+
+def test_vq_train_step_bf16_runs():
+    from pantomatrix_tpu.train.steps import make_vq_train_step
+
+    suite = tiny_suite(jax.random.PRNGKey(4))
+    parts = ("face", "upper", "hands", "lower", "global_motion")
+    params = {p: getattr(suite, p)[0] for p in parts}
+    mesh = make_mesh(4)
+    opt = make_optimizer(learning_rate=1e-3)
+    step = make_vq_train_step(suite, opt, mesh, compute_dtype="bfloat16")
+    opt_state = init_opt_state(opt, params)
+    p, o, losses = step(replicate(params, mesh), replicate(opt_state, mesh),
+                        shard_batch(emage_batch(bs=8), mesh),
+                        jax.random.PRNGKey(0), jnp.zeros(()))
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    # master params stay f32
+    assert all(l.dtype == jnp.float32 for l in jax.tree_util.tree_leaves(p)
+               if jnp.issubdtype(l.dtype, jnp.floating))
