@@ -32,7 +32,9 @@ def load_suite(vq_path, random_vq, vae_length=256, codebook=256):
             global_motion=(g.params, g.config),
         )
     if random_vq:
-        return init_vq_suite(jax.random.PRNGKey(777))
+        # jit the init: eager random init pays the tunnel round-trip per op
+        # (CLAUDE.md; the unjitted path hangs for minutes through axon)
+        return jax.jit(init_vq_suite)(jax.random.PRNGKey(777))
     raise SystemExit("--vq_path <dir> (frozen tokenizers) or --random_vq required")
 
 

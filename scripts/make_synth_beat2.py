@@ -42,21 +42,23 @@ def write_wav(path: str, x: np.ndarray, sr: int) -> None:
 
 
 def synth_motion(rng: np.random.RandomState, n_frames: int, n_ch: int,
-                 amp: float, fps: float = 30.0) -> np.ndarray:
+                 amp: float, fps: float = 30.0,
+                 f_lo: float = 0.3, f_hi: float = 2.5) -> np.ndarray:
     """Sum of 3 random sinusoids per channel: smooth, bounded, with real
     velocity minima (the structure DisCo's rhythm clustering keys on)."""
     t = np.arange(n_frames, dtype=np.float64)[:, None] / fps  # (t, 1)
     out = np.zeros((n_frames, n_ch), np.float64)
     for _ in range(3):
         a = rng.uniform(0.1, 1.0, n_ch) * amp / 3
-        f = rng.uniform(0.3, 2.5, n_ch)
+        f = rng.uniform(f_lo, f_hi, n_ch)
         ph = rng.uniform(0, 2 * np.pi, n_ch)
         out += a * np.sin(2 * np.pi * f * t + ph)
     out += rng.normal(scale=amp * 0.02, size=out.shape)  # mocap jitter
     return out.astype(np.float32)
 
 
-def synth_speech(rng: np.random.RandomState, n_samples: int, sr: int) -> np.ndarray:
+def synth_speech(rng: np.random.RandomState, n_samples: int, sr: int,
+                 syl_lo: float = 3.0, syl_hi: float = 4.5) -> np.ndarray:
     """Amplitude-modulated noise with a syllable-rate (~4 Hz) envelope and
     voiced-band sinusoids — enough temporal structure for onset detection."""
     t = np.arange(n_samples, dtype=np.float64) / sr
@@ -68,7 +70,7 @@ def synth_speech(rng: np.random.RandomState, n_samples: int, sr: int) -> np.ndar
     y = np.convolve(carrier, kernel, mode="same")
     f0 = rng.uniform(100, 220)
     voiced = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.3 * np.sin(2 * np.pi * 2 * f0 * t)
-    syllable = np.clip(np.sin(2 * np.pi * rng.uniform(3.0, 4.5) * t
+    syllable = np.clip(np.sin(2 * np.pi * rng.uniform(syl_lo, syl_hi) * t
                               + rng.uniform(0, 2 * np.pi)), 0, None) ** 2
     # random pauses between "phrases" (0.5 s grid)
     grid = (rng.uniform(size=n_samples // (sr // 2) + 1) < 0.8).astype(np.float64)
@@ -80,9 +82,16 @@ def synth_speech(rng: np.random.RandomState, n_samples: int, sr: int) -> np.ndar
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--root", default="./datasets/synth_beat2")
-    p.add_argument("--train_takes", type=int, default=16)
+    # 102 train takes x 2000 frames at stride 20 -> 9,894 l64 / 9,588 l128 train
+    # clips, matching the reference clip counts (9,842 l64 / 9,485 l128,
+    # /root/reference/datasets/data_json/beat2_s20_l*_speaker2.json)
+    p.add_argument("--train_takes", type=int, default=102)
     p.add_argument("--val_takes", type=int, default=2)
     p.add_argument("--test_takes", type=int, default=2)
+    p.add_argument("--styles", type=int, default=8,
+                   help="distinct synthetic 'speaker styles' (motion frequency "
+                        "band + speech envelope rate per group) cycled over "
+                        "takes — stands in for BEAT2's multi-take variety")
     p.add_argument("--frames", type=int, default=2000,
                    help="frames per train/val take at 30 fps")
     p.add_argument("--test_frames", type=int, default=900,
@@ -111,7 +120,11 @@ def main() -> None:
         vid = f"2_synth_0_{mode}_{i}"
         rng = np.random.RandomState(args.seed * 9973 + hash(mode) % 1000 + i * 131)
         n = args.test_frames if mode == "test" else args.frames
-        poses = synth_motion(rng, n, 165, amp=0.45)
+        # per-style motion band: style s gets a distinct frequency window
+        s = i % max(args.styles, 1)
+        f_lo = 0.3 + 0.15 * s
+        f_hi = 1.6 + 0.35 * s
+        poses = synth_motion(rng, n, 165, amp=0.45, f_lo=f_lo, f_hi=f_hi)
         np.savez(
             os.path.join(root, "smplxflame_30", vid + ".npz"),
             betas=np.zeros(300, np.float32),
@@ -121,7 +134,8 @@ def main() -> None:
             model="smplx2020", gender="neutral", mocap_frame_rate=30,
         )
         write_wav(os.path.join(root, "wave16k", vid + ".wav"),
-                  synth_speech(rng, n * sr // 30, sr), sr)
+                  synth_speech(rng, n * sr // 30, sr,
+                               syl_lo=2.5 + 0.3 * s, syl_hi=3.5 + 0.3 * s), sr)
         rows.append((vid, mode))
         print(f"wrote take {vid} ({mode}, {n} frames)")
 
