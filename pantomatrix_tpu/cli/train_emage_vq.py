@@ -32,6 +32,64 @@ def export_suite(out_dir: str, params, suite) -> str:
     return root
 
 
+def data_init_codebooks(params, cfgs, loader, seed: int = 0):
+    """Replace the uniform U(-1/K, 1/K) codebook init with K vectors sampled
+    from the (untrained) encoders' outputs on real batches.
+
+    The reference Quantizer init (processing_emage_audio.py:142) puts all codes
+    in a +-1/256 ball while encoder outputs land far outside it, so early
+    nearest-code search selects 1-5 codes and the codebook collapses (measured:
+    perplexity 1.4-4.6 of 256 on upper/hands/lower after 2k steps). Sampling
+    codes from the actual encoder-output distribution makes every code
+    immediately competitive — the standard VQ-VAE data-dependent init.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core.rotations import axis_angle_to_rotation_6d
+    from ..models.emage_vq import vq_split_inputs
+    from ..nn.blocks import vq_encoder
+
+    parts = ("face", "upper", "hands", "lower")
+
+    @jax.jit
+    def encode_all(p, batch):
+        motion = jnp.asarray(batch["motion"])
+        bs, t, jc = motion.shape
+        j = jc // 3
+        rot6d = axis_angle_to_rotation_6d(
+            motion.reshape(bs, t, j, 3)).reshape(bs, t, j * 6)
+        streams = vq_split_inputs(rot6d, jnp.asarray(batch["expressions"]),
+                                  jnp.asarray(batch["foot_contact"]),
+                                  jnp.asarray(batch["trans"]))
+        return {part: vq_encoder(p[part]["encoder"], streams[part],
+                                 cfgs[part].vae_layer) for part in parts}
+
+    pools = {part: [] for part in parts}
+    need = {part: cfgs[part].vae_codebook_size for part in parts}
+    rng = np.random.RandomState(seed)
+    for i, batch in enumerate(loader):
+        z = encode_all(params, batch)
+        for part in parts:
+            pools[part].append(np.asarray(z[part]).reshape(-1, z[part].shape[-1]))
+        if all(sum(len(x) for x in pools[p_]) >= 8 * need[p_] for p_ in parts):
+            break
+    for part in parts:
+        pool = np.concatenate(pools[part])
+        k = need[part]
+        take = rng.choice(len(pool), size=k, replace=len(pool) < k)
+        codes = pool[take]
+        if len(pool) < k:
+            # tiny (debug) datasets: break duplicate-code ties with jitter
+            codes = codes + rng.normal(scale=1e-3, size=codes.shape)
+        params[part]["quantizer"]["embedding"]["weight"] = jnp.asarray(
+            codes, jnp.float32)
+    print("codebooks initialized from encoder outputs "
+          f"({ {p_: len(np.concatenate(pools[p_])) for p_ in parts} } frames pooled)")
+    return params
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -49,7 +107,7 @@ def main():
         shard_batch,
     )
     from ..train.optim import make_optimizer
-    from ..train.steps import init_opt_state, make_vq_train_step
+    from ..train.steps import init_opt_state, make_vq_train_step, vq_usage_init
     from ._train_common import (
         init_env,
         make_log_fn,
@@ -82,15 +140,16 @@ def main():
         warmup_steps=int(cfg.solver.lr_warmup_steps),
         total_steps=int(cfg.solver.max_train_steps),
     )
+    restart = bool(cfg.model.get("restart_dead_codes", True))
     step_fn = make_vq_train_step(
         suite, optimizer, mesh,
         param_placement=placement,
         compute_dtype=cfg.solver.get("compute_dtype"),
         vel_weight=float(cfg.model.get("vel_weight", 1.0)),
+        restart_dead_codes=restart,
+        restart_decay=float(cfg.model.get("restart_decay", 0.99)),
+        restart_thresh=float(cfg.model.get("restart_thresh", 0.03)),
     )
-    opt_state = init_opt_state(optimizer, params)
-    params, opt_state = place_train_state(params, opt_state, mesh)
-
     pose_fps = int(cfg.model.get("pose_fps", 30))
     audio_sr = int(cfg.model.get("audio_sr", 16000))
     train_ds = BEAT2Dataset(cfg.data.meta_paths, "train", pose_fps, audio_sr,
@@ -101,6 +160,15 @@ def main():
                           None, variant="emage_footcontact")
     val_loader = DataLoader(val_ds, min(cfg.data.train_bs, max(len(val_ds), 1)),
                             shuffle=False) if len(val_ds) else None
+
+    if bool(cfg.model.get("data_init_codebook", True)) and not cfg.get(
+            "resume_from_checkpoint"):
+        params = data_init_codebooks(params, cfgs, train_loader, seed=cfg.seed)
+
+    opt_state = init_opt_state(optimizer, params)
+    if restart:
+        opt_state = (opt_state, vq_usage_init(suite))
+    params, opt_state = place_train_state(params, opt_state, mesh)
 
     def roundtrip_rot6d(live_params, batch):
         """GT -> map2index (all four parts) -> decode: the quantized round trip.
@@ -148,7 +216,8 @@ def main():
         # when no val ran) in the --vq_path layout the EMAGE trainer loads
         best_bin = os.path.join(loop_cfg.ckpt_dir, "best.bin")
         if os.path.exists(best_bin):
-            params, _, it, _ = load_train_state(best_bin, params_template=params)
+            params, _, it, _ = load_train_state(
+                best_bin, params_template=params, opt_state_template=opt_state)
             print(f"exporting best-val suite (step {it})")
         root = export_suite(cfg.output_dir, params, suite)
         print(f"exported tokenizer suite to {root}")

@@ -58,13 +58,17 @@ def init_emage_vae(key: jax.Array, cfg: EmageVAEConvConfig) -> Params:
 
 def vqvae_forward(p: Params, cfg: EmageVQVAEConvConfig, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     pre_latent = vq_encoder(p["encoder"], x, cfg.vae_layer)
-    loss, z_q, _, perplexity = quantize(p["quantizer"], pre_latent, cfg.vae_quantizer_lambda)
+    loss, z_q, idx, perplexity = quantize(p["quantizer"], pre_latent, cfg.vae_quantizer_lambda)
     rec = vq_decoder(p["decoder"], z_q, cfg.vae_layer)
     return {
         "poses_feat": z_q,
         "embedding_loss": loss,
         "perplexity": perplexity,
         "rec_pose": rec,
+        # extra keys beyond the reference VQVAEConv.forward return (codebook
+        # health diagnostics for the pretraining stage, train/steps.py)
+        "indices": idx,
+        "pre_latent": pre_latent,
     }
 
 

@@ -426,6 +426,9 @@ def make_vq_train_step(
     param_placement: str = "replicated",
     compute_dtype: Optional[str] = None,
     vel_weight: float = 1.0,
+    restart_dead_codes: bool = False,
+    restart_decay: float = 0.99,
+    restart_thresh: float = 0.03,
 ) -> Callable:
     """Pretrain the five EMAGE motion tokenizers jointly in ONE device program.
 
@@ -442,6 +445,19 @@ def make_vq_train_step(
     The five models are independent; summing their losses into one jit gives XLA
     five parallel subgraphs per step — one dispatch, one optimizer, one params
     tree {"face","upper","hands","lower","global_motion"}.
+
+    restart_dead_codes=True returns a step whose state argument is
+    ``(opt_state, usage)`` where ``usage`` is ``{part: (K,) f32}`` EMA of the
+    per-code selection frequency (decay ``restart_decay``), built with
+    ``vq_usage_init(suite)``. After each optimizer update, codes whose EMA
+    usage fell below ``restart_thresh / K`` are re-seeded from random encoder
+    outputs of the current batch (the standard dead-code restart; the reference
+    ships no tokenizer trainer so there is no parity surface here — measured on
+    the synthetic corpus, the U(-1/K,1/K) init collapses upper/hands/lower to
+    1-5 live codes of 256 and data-init alone still loses face/hands to drift).
+    Restarted codes get a fresh grace window (usage reset to 1/K ~= 350 steps
+    at decay 0.99). Everything stays inside the one jitted device program, so
+    ``make_multi_step`` fusion keeps working.
     """
     from ..models.emage_vq import vae_forward, vq_split_inputs, vqvae_forward
 
@@ -479,6 +495,14 @@ def make_vq_train_step(
             losses[f"emb_{part}"] = emb
             losses[f"ppl_{part}"] = out["perplexity"].astype(jnp.float32)
             total = total + rec_terms(out["rec_pose"], x, part) + emb
+            if restart_dead_codes:
+                # non-scalar aux consumed (and popped) by the restart wrapper
+                # below — never leaves the device program
+                z = jax.lax.stop_gradient(out["pre_latent"]).astype(jnp.float32)
+                losses[f"_counts_{part}"] = jnp.sum(jax.nn.one_hot(
+                    out["indices"].reshape(-1), cfgs[part].vae_codebook_size,
+                    dtype=jnp.float32), axis=0)
+                losses[f"_zpool_{part}"] = z.reshape(-1, z.shape[-1])
         g_target = vq_global_vae_target(streams["lower"])
         g_in = _cast_inputs(cdt, streams["lower"])
         g_rec = vae_forward(params["global_motion"], cfgs["global_motion"], g_in)
@@ -488,8 +512,61 @@ def make_vq_train_step(
         # pass through unchanged so the step keeps the shared plumbing's contract
         return total, (losses, buffers)
 
-    return _make_step(loss_fn, optimizer, mesh, axis_name, with_iteration=False,
+    base = _make_step(loss_fn, optimizer, mesh, axis_name, with_iteration=False,
                       spmd="pjit", param_placement=param_placement)
+    if not restart_dead_codes:
+        return base
+
+    parts4 = ("face", "upper", "hands", "lower")
+    sizes = {part: int(cfgs[part].vae_codebook_size) for part in parts4}
+    raw = base.raw
+
+    def step(params, state, batch, rng, iteration):
+        opt_state, usage = state
+        params, opt_state, losses = raw(params, opt_state, batch, rng, iteration)
+        new_usage = {}
+        for i, part in enumerate(parts4):
+            counts = losses.pop(f"_counts_{part}")
+            zpool = losses.pop(f"_zpool_{part}")
+            k = sizes[part]
+            frac = counts / jnp.maximum(jnp.sum(counts), 1.0)
+            u = restart_decay * usage[part] + (1.0 - restart_decay) * frac
+            dead = u < (restart_thresh / k)
+            pick = jax.random.randint(jax.random.fold_in(rng, i), (k,), 0,
+                                      zpool.shape[0])
+            emb = params[part]["quantizer"]["embedding"]["weight"]
+            cand = zpool[pick].astype(emb.dtype)
+            params[part]["quantizer"]["embedding"]["weight"] = jnp.where(
+                dead[:, None], cand, emb)
+            new_usage[part] = jnp.where(dead, 1.0 / k, u)
+            losses[f"restarted_{part}"] = jnp.sum(dead.astype(jnp.float32))
+        return params, (opt_state, new_usage), losses
+
+    replicated = NamedSharding(base.mesh, P())
+    sharded = NamedSharding(base.mesh, P(axis_name))
+    state_in = None if param_placement == "inherit" else replicated
+    jitted = jax.jit(
+        step,
+        in_shardings=(state_in, state_in, sharded, replicated, replicated),
+        out_shardings=(state_in, state_in, replicated),
+        donate_argnums=(0, 1),
+    )
+    jitted.raw = step
+    jitted.mesh, jitted.axis_name = base.mesh, axis_name
+    jitted.param_placement = param_placement
+    return jitted
+
+
+def vq_usage_init(suite: EmageVQSuite) -> Dict[str, jnp.ndarray]:
+    """Initial per-code usage EMA for make_vq_train_step(restart_dead_codes=True):
+    1/K everywhere, i.e. every code starts with a full grace window before it can
+    be declared dead (~350 steps at the default decay 0.99/threshold 0.03)."""
+    return {
+        part: jnp.full((int(getattr(suite, part)[1].vae_codebook_size),),
+                       1.0 / int(getattr(suite, part)[1].vae_codebook_size),
+                       jnp.float32)
+        for part in ("face", "upper", "hands", "lower")
+    }
 
 
 # ---------------------------------------------------------------------------

