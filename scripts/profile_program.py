@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--seconds", type=float, default=60.0)
     ap.add_argument("--n", type=int, default=4, help="dispatches per probe")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--stages", default="p1,p2,p3,p4",
+                    help="comma subset; lets a wedged stage be skipped / run "
+                         "under an external `timeout` (see P1 note below)")
     args = ap.parse_args()
 
     import jax
@@ -96,16 +99,29 @@ def main():
         )
         return wmotion, wmask, audio_slice
 
+    # AXON PATHOLOGY (measured 2026-08-19): a scan whose body is ONLY data
+    # movement (dynamic slices + mean reductions, no MXU work) compiles in ~1 s
+    # but its EXECUTION wedges the tunneled device indefinitely (>9 min for 29
+    # iterations that take 13 ms on the CPU backend; a concurrent 1024x1024
+    # matmul times out too — the chip is gone until the process is killed).
+    # Workaround: anchor the body with one tiny matmul on the seed rows
+    # (bs x pre x 337 @ 337 x 8 ~ 0.09 MFLOP/window, ~1e-5 of the window step's
+    # compute — attribution noise, not a measurement change).
+    anchor_w = jnp.ones((masked_motion.shape[-1], 8), jnp.float32)
+
     def p1_slice_only(params, suite, audio, masked_motion, mask):
-        """Scan + remainder with slicing/merge bodies only. The accumulator sums
-        a scalar from every slice so the loop stays sequential and nothing is
-        dead-code-eliminated; compute is negligible vs the slice data movement."""
+        """Scan + remainder with slicing/merge bodies only (+ the tiny anchor
+        matmul above). The accumulator sums a scalar from every slice so the
+        loop stays sequential and nothing is dead-code-eliminated; compute is
+        negligible vs the slice data movement."""
 
         def body(carry, i):
             last_motion, acc = carry
             wmotion, wmask, audio_slice = merged_window(
                 (audio, masked_motion, mask), last_motion, i * stride, window)
-            acc = acc + jnp.mean(wmotion) + jnp.mean(wmask) + jnp.mean(audio_slice)
+            acc = (acc + jnp.mean(wmotion) + jnp.mean(wmask)
+                   + jnp.mean(audio_slice)
+                   + jnp.sum(wmotion[:, :pre] @ anchor_w) * 1e-12)
             return (wmotion[:, -pre:], acc), None
 
         (last, acc), _ = jax.lax.scan(
@@ -157,12 +173,13 @@ def main():
         return (decoded["motion_axis_angle"], decoded["expression"],
                 decoded["trans"])
 
-    stages = [
-        ("scan+window slicing", p1_slice_only),
-        ("+window-step compute", p2_step_carry),
-        ("+ys stacking/transpose (=_inference_impl)", p3_impl),
-        ("+select+final VQ decode+global (=bench)", p4_full),
-    ]
+    all_stages = {
+        "p1": ("scan+window slicing", p1_slice_only),
+        "p2": ("+window-step compute", p2_step_carry),
+        "p3": ("+ys stacking/transpose (=_inference_impl)", p3_impl),
+        "p4": ("+select+final VQ decode+global (=bench)", p4_full),
+    }
+    stages = [all_stages[s.strip()] for s in args.stages.split(",")]
 
     def timed(fn):
         jfn = jax.jit(fn)

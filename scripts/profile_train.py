@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--dtype", default="bfloat16", choices=("float32", "bfloat16"))
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--rungs", default="0,1,2,3,4,5,6",
+                    help="comma subset of ladder indices (6 = the shipped step); "
+                         "prints flush per rung, so a wedged rung under an "
+                         "external `timeout` still yields the earlier rows")
     args = ap.parse_args()
 
     import jax
@@ -203,18 +207,31 @@ def main():
     peak = next((v for pat, v in peaks.items() if pat in kind), 197.0)
 
     opt_state0 = init_opt_state(opt, params)
+    # host copies: replicate() of an already-placed array is an ALIAS, and the
+    # timing loop donates p/o — the second rung would otherwise re-place the
+    # first rung's deleted buffers ("Array has been deleted")
+    params_host = jax.tree_util.tree_map(np.asarray, params)
+    opt_host = jax.tree_util.tree_map(np.asarray, opt_state0)
     sbatch = shard_batch(batch, mesh)
     k = args.k
     stacked = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x[None], (k,) + x.shape), sbatch)
     key = jax.random.PRNGKey(7)
 
+    want = {int(i) for i in args.rungs.split(",")}
+    rungs = [r for i, r in enumerate(rungs) if i in want]
+
     results = {}
     prev = 0.0
     for name, step in rungs:
         multi = make_multi_step(step, k)
-        p = replicate(params, mesh)
-        o = replicate(opt_state0, mesh)
+        p = replicate(params_host, mesh)
+        o = replicate(opt_host, mesh)
+        # cost analysis from a lowering of the FRESH state: the timing loop
+        # donates p/o every call, and lowering against donated-then-deleted
+        # arrays raises "Array has been deleted" (hit on the first recorded run)
+        ca = multi.lower(p, o, stacked, key,
+                         jnp.asarray(0, jnp.int32)).compile().cost_analysis()
         t0 = time.time()
         p, o, m = multi(p, o, stacked, key, jnp.asarray(0, jnp.int32))
         probe = float(np.asarray(jax.tree_util.tree_leaves(m)[0][-1]))
@@ -227,8 +244,6 @@ def main():
             assert np.isfinite(probe)
             times.append((time.time() - t0) / k * 1000.0)
         med = sorted(times)[len(times) // 2]
-        ca = multi.lower(p, o, stacked, key,
-                         jnp.asarray(0, jnp.int32)).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca["flops"])
