@@ -4,8 +4,11 @@ config — the PROFILE.md "multi-client streaming" table.
 
 Usage:
     python -m pantomatrix_tpu.cli.bench_stream --sessions 8 [--repeats 10]
+    python -m pantomatrix_tpu.cli.bench_stream --sessions 1,8,16,32,64   # one
+        process sweeps every N (shared model init; one clean protocol run —
+        the VERDICT r4 item 5 sweep)
 
-Prints one JSON line: {"sessions", "pump_ms_median", "pump_ms_p90",
+Prints one JSON line PER N: {"sessions", "pump_ms_median", "pump_ms_p90",
 "ms_per_stream", "motion_seconds_per_pump"}. Each pump emits
 stride/30 s of motion PER SESSION, so real-time capacity per chip is
 sessions * (stride/30) / pump_s streams.
@@ -19,7 +22,8 @@ import time
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--sessions", type=int, default=8)
+    p.add_argument("--sessions", default="8",
+                   help="session count, or comma list to sweep in one process")
     p.add_argument("--repeats", type=int, default=10)
     args = p.parse_args()
 
@@ -45,7 +49,15 @@ def main():
                       hands=parts["hands"], lower=parts["lower"],
                       global_motion=EmageVAEConv(EmageVAEConvConfig(), seed=4))
 
-    n = args.sessions
+    for n in [int(s) for s in str(args.sessions).split(",")]:
+        _bench_one(cfg, model, vq, n, args.repeats)
+
+
+def _bench_one(cfg, model, vq, n, repeats):
+    import numpy as np
+
+    from ..serve import StreamingPool
+
     pool = StreamingPool(model, vq, batch=n)
     rng = np.random.RandomState(0)
     sids = [pool.open(speaker_id=0) for _ in range(n)]
@@ -61,7 +73,7 @@ def main():
     assert len(out) == n, (len(out), n)
 
     times = []
-    for _ in range(args.repeats):
+    for _ in range(repeats):
         for sid in sids:
             pool.feed(sid, rng.uniform(-0.5, 0.5, stride_samples).astype(np.float32))
         t0 = time.time()
@@ -76,7 +88,7 @@ def main():
     p90 = times[max(0, -(-9 * len(times) // 10) - 1)]
     stride_s = (cfg.pose_length - cfg.seed_frames) / 30.0
     print(json.dumps({
-        "sessions": n, "repeats": args.repeats,
+        "sessions": n, "repeats": repeats,
         "pump_ms_median": round(med, 1), "pump_ms_p90": round(p90, 1),
         "ms_per_stream": round(med / n, 2),
         "motion_seconds_per_pump": round(stride_s * n, 2),
